@@ -1,0 +1,59 @@
+"""Typed crawl configuration.
+
+Mirrors the reference's compile-time constants (reference:
+config/config.go:6-40) plus the scheduling knobs our deterministic epoch
+model adds (per-host politeness budget, robots flag). All defaults match
+the reference where one exists.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # reference config/config.go:7 (MaxDepth = 13)
+    max_depth: int = 13
+    # reference crawler/crawler_twotier.go:57 (colly.MaxBodySize 5 MB).
+    # colly caps the body via a limited reader, so oversized bodies are
+    # TRUNCATED at the cap, not dropped.
+    max_body_bytes: int = 5 * 1024 * 1024
+    # reference crawler/crawler_twotier.go:84 (docExtensions := []string{".pdf"})
+    doc_extensions: tuple[str, ...] = (".pdf",)
+    # tokenizer/coordinator.go:37-38 (100 KB fast / 500 KB slow thresholds)
+    fast_path_size_limit: int = 100 * 1024
+    slow_path_size_limit: int = 500 * 1024
+    # Our deterministic analogue of the reference's politeness limiter
+    # (crawler_twotier.go:64-69: 20 parallel slots + 30 ms delay per domain):
+    # max fetches per host per epoch. 0 or negative = unlimited (an epoch
+    # then equals a BFS depth level exactly). Per-host overrides come from
+    # the politeness table.
+    default_host_budget: int = 0
+    # The reference explicitly ignores robots.txt
+    # (colly.IgnoreRobotsTxt, crawler_twotier.go:56). Kept as a flag; when
+    # True, candidate URLs matching a host's robots_disallow path prefixes
+    # are dropped before scheduling.
+    respect_robots: bool = False
+    # reference config/config.go:35 (MaxRetries = 3) — download retry cap.
+    max_retries: int = 3
+
+    # ---- engine execution knobs (no reference analogue) ----
+    # number of URL-seen shard actors (hash-partitioned on url_norm)
+    seen_shards: int = 8
+    # map_batches batch size for the extract stage
+    extract_batch_size: int = 256
+    # actor-pool size for the extract stage; None = stateless tasks
+    extract_concurrency: int | None = None
+    # fetch mode: "broadcast" (corpus index via ray.put — small corpora),
+    # "join" (Dataset.join on url — the 100 TB path), or "auto"
+    fetch_mode: str = "auto"
+    # above this many corpus rows, "auto" switches broadcast -> join
+    broadcast_row_limit: int = 2_000_000
+    # record the (epoch, rank, url) golden ordering trace (costs a sort)
+    record_order: bool = True
+    # checkpoint directory; None disables checkpointing
+    checkpoint_dir: str | None = None
+
+
+DEFAULT_CONFIG = CrawlConfig()
