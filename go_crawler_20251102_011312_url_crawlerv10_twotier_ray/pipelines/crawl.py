@@ -1,0 +1,498 @@
+"""The frontier crawl pipeline — depth-epoch driver loop.
+
+Re-expresses the reference's unbounded async colly loop
+(crawler/crawler_twotier.go:248-254 + OnResponse at :98-175) as a
+deterministic sequence of bounded Ray Data pipelines, one per epoch
+(SURVEY.md §2.8): the driver loop is the "stream", each epoch is
+
+    frontier ──(sort + per-host politeness budget)──▶ scheduled | deferred
+    scheduled ──map_batches(FetchAndExtract)──▶ fetched   [actor-pool state:
+        raw-revisit shards; corpus via broadcast ref or Dataset.join]
+    fetched ──map_batches(CandidateLinks)──▶ candidates   [partial dedup]
+    candidates ──groupby(url_norm).map_groups(min)──▶ unique candidates
+    unique ──map_batches(seen-shard anti-join)──▶ survivors (next frontier)
+    fetched ──map_batches(explode_documents)──▶ docs ──dedup──▶ downloads
+    everything ──▶ per-epoch checkpoint parquet + _SUCCESS
+
+Scheduling state (the frontier) is URL rows only — thousands of times
+smaller than the page bodies, which stream through the fetch/extract/
+candidate stages without ever being materialized on the driver. The
+frontier itself is handled driver-side in Arrow/pandas below a size
+threshold and via distributed Dataset ops above it (same semantics; see
+``_schedule_pandas``); page-body stages are ALWAYS distributed.
+
+Determinism (matches oracle/crawl_sim.py — the shared spec):
+- epoch sort key (-priority, host, url_norm, url);
+- per-host budget applied in sorted order, over-budget rows deferred with
+  priority=1 (they jump the next epoch's line);
+- per-epoch candidate dedup by url_norm with min((depth, url)) tie-break;
+- cross-epoch dedup through the sharded seen actors (atomic check-and-add).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..config import CrawlConfig
+from ..functions.urlnorm import fetch_key, host_of, normalize_url
+from ..oracle.crawl_sim import validate_seed
+from ..oracle.reference import extract_filename
+from ..stages.candidates import CandidateLinks, explode_documents
+from ..stages.fetch import (
+    FETCHED_SCHEMA,
+    ExtractJoined,
+    FetchAndExtract,
+    RawRevisitCheck,
+)
+from ..stages.seen import ShardedSeen, check_and_add_batch
+from ..state import checkpoint as ckpt
+
+FRONTIER_COLS = ["url", "url_norm", "host", "depth", "priority"]
+
+
+@dataclass
+class CrawlRunResult:
+    extracted: pa.Table | None = None
+    fetch_log: pa.Table | None = None
+    order: pa.Table | None = None
+    seen: pa.Table | None = None
+    downloads: pa.Table | None = None
+    n_epochs: int = 0
+    pages_fetched: int = 0
+    counters: dict = field(default_factory=dict)
+
+
+def load_politeness(corpus_dir: str):
+    """Read the politeness table -> (host_budgets, robots_disallow)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(corpus_dir, "politeness.parquet")
+    if not os.path.exists(path):
+        return {}, {}
+    t = pq.read_table(path)
+    budgets, robots = {}, {}
+    for row in t.to_pylist():
+        if row["max_fetches_per_epoch"]:
+            budgets[row["host"]] = row["max_fetches_per_epoch"]
+        if row["robots_disallow"]:
+            robots[row["host"]] = list(row["robots_disallow"])
+    return budgets, robots
+
+
+def _seed_frontier(seeds: list[str]) -> pd.DataFrame:
+    rows = []
+    seen_raw = set()
+    for s in seeds:
+        v = validate_seed(s)
+        if v is None or v in seen_raw:
+            continue
+        seen_raw.add(v)
+        rows.append(
+            {"url": v, "url_norm": normalize_url(v), "host": host_of(v) or "",
+             "depth": 0, "priority": 0}
+        )
+    return pd.DataFrame(rows, columns=FRONTIER_COLS)
+
+
+def _schedule_pandas(
+    frontier: pd.DataFrame, budgets: dict[str, int], default_budget: int
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Sort + apply per-host budget. Returns (scheduled_in_order, deferred)."""
+    df = frontier.sort_values(
+        ["priority", "host", "url_norm", "url"],
+        ascending=[False, True, True, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+    if budgets or default_budget > 0:
+        bud = df["host"].map(lambda h: budgets.get(h, default_budget)).to_numpy()
+        cum = df.groupby("host").cumcount().to_numpy()
+        mask = (bud <= 0) | (cum < bud)
+    else:
+        mask = np.ones(len(df), dtype=bool)
+    scheduled = df[mask].reset_index(drop=True)
+    deferred = df[~mask].reset_index(drop=True).copy()
+    if len(deferred):
+        deferred["priority"] = 1
+    return scheduled, deferred
+
+
+def _pick_min_per_norm(g: pd.DataFrame) -> pd.DataFrame:
+    return g.sort_values(["depth", "url"], kind="mergesort").head(1)
+
+
+def _make_seen_filter(handles):
+    def seen_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        mask = check_and_add_batch(handles, "norm", batch["url_norm"].to_pylist())
+        return batch.filter(pa.array(mask))
+
+    return seen_filter
+
+
+def _collect(ds: rd.Dataset) -> pa.Table:
+    tables = [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+              for t in ray.get(ds.to_arrow_refs())]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return None
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+class DownloadSim:
+    """Simulated document downloader (broadcast corpus mode): success iff
+    the fetch key exists in the corpus, else cfg.max_retries failed attempts
+    (downloader.go:153-179)."""
+
+    def __init__(self, cfg: CrawlConfig, corpus_ref):
+        self.cfg = cfg
+        self.corpus_ref = corpus_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.fetch import cached_broadcast
+
+        self.corpus = cached_broadcast(self.corpus_ref)
+        urls = batch["url"].to_pylist()
+        oks, sizes = [], []
+        for u in urls:
+            fk = fetch_key(u)
+            body = self.corpus.get(fk) if fk is not None else None
+            oks.append(body is not None)
+            sizes.append(len(body) if body is not None else 0)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "depth": batch["depth"],
+                "ok": pa.array(oks, pa.bool_()),
+                "retries": pa.array(
+                    [0 if ok else self.cfg.max_retries for ok in oks], pa.int32()
+                ),
+                "bytes": pa.array(sizes, pa.int64()),
+                "filename": pa.array([extract_filename(u) for u in urls], pa.string()),
+            }
+        )
+
+
+def run_crawl(
+    corpus_dir: str,
+    cfg: CrawlConfig | None = None,
+    seeds: list[str] | None = None,
+    host_budgets: dict[str, int] | None = None,
+    robots_disallow: dict[str, list[str]] | None = None,
+    use_politeness_table: bool = False,
+    max_epochs: int | None = None,
+    resume: bool = False,
+) -> CrawlRunResult:
+    """Run the full crawl over a corpus directory (pages/seeds/politeness
+    parquet as written by corpus.write_corpus). Ray must already be
+    initialised by the caller."""
+    import pyarrow.parquet as pq
+
+    cfg = cfg or CrawlConfig()
+    if seeds is None:
+        seeds = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))[
+            "url"
+        ].to_pylist()
+    if use_politeness_table:
+        tb, tr = load_politeness(corpus_dir)
+        host_budgets = {**tb, **(host_budgets or {})}
+        if cfg.respect_robots:
+            robots_disallow = {**tr, **(robots_disallow or {})}
+    host_budgets = host_budgets or {}
+    robots_disallow = robots_disallow if cfg.respect_robots else {}
+
+    pages_path = os.path.join(corpus_dir, "pages.parquet")
+    n_corpus_rows = pq.read_metadata(pages_path).num_rows
+    mode = cfg.fetch_mode
+    if mode == "auto":
+        mode = "broadcast" if n_corpus_rows <= cfg.broadcast_row_limit else "join"
+
+    corpus_ref = None
+    if mode == "broadcast":
+        t = pq.read_table(pages_path, columns=["url", "html"])
+        corpus_ref = ray.put(dict(zip(t["url"].to_pylist(), t["html"].to_pylist())))
+
+    seen = ShardedSeen(cfg.seen_shards)
+    res = CrawlRunResult()
+    acc: dict[str, list[pa.Table]] = {
+        "extracted": [], "order": [], "downloads": [], "seen": []
+    }
+
+    start_epoch = 0
+    frontier = _seed_frontier(seeds)
+    if resume and cfg.checkpoint_dir:
+        done = ckpt.complete_epochs(cfg.checkpoint_dir)
+        if done:
+            for k in done:
+                ext = ckpt.read_epoch_table(cfg.checkpoint_dir, k, "extracted")
+                acc["extracted"].append(ext)
+                acc["order"].append(ckpt.read_epoch_table(cfg.checkpoint_dir, k, "order"))
+                dl = ckpt.read_epoch_table(cfg.checkpoint_dir, k, "downloads")
+                acc["downloads"].append(dl)
+                sd = ckpt.read_epoch_table(cfg.checkpoint_dir, k, "seen_delta")
+                acc["seen"].append(sd)
+                # rebuild shard state from deltas
+                seen_norms = sd["url_norm"].to_pylist()
+                raws = ext.filter(
+                    pa.compute.not_equal(ext["status"], 304)
+                )["url"].to_pylist()
+                docs = dl["url"].to_pylist()
+                for kind, keys in (("norm", seen_norms), ("raw", raws), ("doc", docs)):
+                    n = seen.n_shards
+                    from ..stages.seen import shard_of
+                    per: dict[int, list[str]] = {}
+                    for key in keys:
+                        per.setdefault(shard_of(key, n), []).append(key)
+                    ray.get([
+                        seen.shards[sid].add.remote(kind, ks)
+                        for sid, ks in per.items()
+                    ])
+            start_epoch = done[-1] + 1
+            frontier = ckpt.read_epoch_table(
+                cfg.checkpoint_dir, done[-1], "frontier_next"
+            ).to_pandas()
+
+    epoch = start_epoch
+    try:
+        while len(frontier) > 0:
+            if max_epochs is not None and epoch - start_epoch >= max_epochs:
+                break
+            scheduled, deferred = _schedule_pandas(
+                frontier, host_budgets, cfg.default_host_budget
+            )
+            order_tbl = pa.table(
+                {
+                    "epoch": pa.array([epoch] * len(scheduled), pa.int32()),
+                    "rank": pa.array(range(len(scheduled)), pa.int64()),
+                    "url": pa.array(scheduled["url"], pa.string()),
+                    "host": pa.array(scheduled["host"], pa.string()),
+                    "depth": pa.array(scheduled["depth"], pa.int32()),
+                    "priority": pa.array(scheduled["priority"], pa.int32()),
+                }
+            )
+
+            sched_tbl = pa.Table.from_pandas(
+                scheduled[FRONTIER_COLS], preserve_index=False
+            )
+            n_blocks = max(1, min(32, (len(scheduled) + cfg.extract_batch_size - 1)
+                                  // cfg.extract_batch_size))
+            sched_ds = rd.from_arrow(sched_tbl).repartition(n_blocks)
+
+            if mode == "broadcast":
+                fetched = sched_ds.map_batches(
+                    FetchAndExtract(cfg, corpus_ref, seen.handles()),
+                    batch_format="pyarrow",
+                    batch_size=cfg.extract_batch_size,
+                )
+            else:
+                marked = sched_ds.map_batches(
+                    RawRevisitCheck(seen.handles()),
+                    batch_format="pyarrow",
+                    batch_size=cfg.extract_batch_size,
+                )
+                pages_ds = rd.read_parquet(pages_path, columns=["url", "html"]).map_batches(
+                    lambda t: t.rename_columns(["fetch_key", "html"]),
+                    batch_format="pyarrow",
+                )
+                joined = marked.join(
+                    pages_ds,
+                    join_type="left_outer",
+                    num_partitions=max(2, n_blocks),
+                    on=("fetch_key",),
+                )
+                fetched = joined.map_batches(
+                    ExtractJoined(cfg),
+                    batch_format="pyarrow",
+                    batch_size=cfg.extract_batch_size,
+                )
+            fetched = fetched.materialize()
+
+            # --- candidate links -> epoch dedup -> seen anti-join ---
+            candidates = fetched.map_batches(
+                CandidateLinks(cfg, robots_disallow),
+                batch_format="pyarrow",
+                batch_size=cfg.extract_batch_size,
+            )
+            unique = candidates.groupby("url_norm").map_groups(
+                _pick_min_per_norm, batch_format="pandas"
+            )
+            survivors_ds = unique.map_batches(
+                _make_seen_filter(seen.handles()), batch_format="pyarrow"
+            )
+            survivors = _collect(survivors_ds)
+
+            # --- documents -> cross-epoch dedup -> simulated download ---
+            docs = _collect(fetched.map_batches(explode_documents,
+                                                batch_format="pyarrow"))
+            dl_tbl = _empty_downloads(epoch)
+            if docs is not None and docs.num_rows:
+                ddf = docs.to_pandas().sort_values(
+                    ["p_priority", "p_host", "p_norm", "p_url"],
+                    ascending=[False, True, True, True],
+                    kind="mergesort",
+                ).drop_duplicates("url", keep="first")
+                new_mask = seen.check_and_add("doc", ddf["url"].tolist())
+                ddf = ddf[new_mask]
+                if len(ddf):
+                    ddf = ddf.sort_values("url", kind="mergesort")
+                    d_tbl = pa.Table.from_pandas(
+                        ddf[["url", "depth"]], preserve_index=False
+                    )
+                    if mode == "broadcast":
+                        dl_ds = rd.from_arrow(d_tbl).map_batches(
+                            DownloadSim(cfg, corpus_ref),
+                            batch_format="pyarrow",
+                        )
+                        dl_out = _collect(dl_ds)
+                    else:
+                        dl_out = _download_join(d_tbl, pages_path, cfg)
+                    dl_out = (
+                        dl_out.to_pandas().sort_values("url", kind="mergesort")
+                        if dl_out is not None else None
+                    )
+                    if dl_out is not None:
+                        dl_tbl = pa.Table.from_pandas(
+                            dl_out, preserve_index=False
+                        ).append_column(
+                            "epoch", pa.array([epoch] * len(dl_out), pa.int32())
+                        )
+
+            ext_tbl = _collect(fetched) or FETCHED_SCHEMA.empty_table()
+            ext_tbl = ext_tbl.append_column(
+                "epoch", pa.array([epoch] * ext_tbl.num_rows, pa.int32())
+            )
+            acc["extracted"].append(ext_tbl)
+            acc["order"].append(order_tbl)
+            acc["downloads"].append(dl_tbl)
+
+            if survivors is not None and survivors.num_rows:
+                sdf = survivors.to_pandas().sort_values("url_norm").reset_index(
+                    drop=True
+                )
+            else:
+                sdf = pd.DataFrame(columns=["url", "url_norm", "host", "depth"])
+            seen_delta = pa.table(
+                {
+                    "url_norm": pa.array(sdf["url_norm"], pa.string()),
+                    "first_depth": pa.array(sdf["depth"], pa.int32()),
+                    "url": pa.array(sdf["url"], pa.string()),
+                    "epoch": pa.array([epoch] * len(sdf), pa.int32()),
+                }
+            )
+            acc["seen"].append(seen_delta)
+
+            new_frontier = sdf.assign(priority=0)[FRONTIER_COLS] if len(sdf) else \
+                pd.DataFrame(columns=FRONTIER_COLS)
+            next_frontier = pd.concat([deferred, new_frontier], ignore_index=True)
+
+            if cfg.checkpoint_dir:
+                ckpt.write_epoch(
+                    cfg.checkpoint_dir,
+                    epoch,
+                    {
+                        "frontier_next": pa.Table.from_pandas(
+                            next_frontier, preserve_index=False
+                        ) if len(next_frontier) else pa.table(
+                            {c: pa.array([], pa.string() if c not in
+                                         ("depth", "priority") else pa.int32())
+                             for c in FRONTIER_COLS}
+                        ),
+                        "extracted": ext_tbl,
+                        "order": order_tbl,
+                        "downloads": dl_tbl,
+                        "seen_delta": seen_delta,
+                    },
+                    meta={
+                        "epoch": epoch,
+                        "scheduled": len(scheduled),
+                        "fetched_ok": int(
+                            pa.compute.sum(ext_tbl["ok"]).as_py() or 0
+                        ),
+                        "seen_total": seen.total("norm"),
+                    },
+                )
+
+            frontier = next_frontier
+            epoch += 1
+    finally:
+        seen.kill()
+
+    # --- assemble result tables ---
+    ext_all = pa.concat_tables(acc["extracted"]) if acc["extracted"] else None
+    res.extracted = (
+        ext_all.filter(pa.compute.equal(ext_all["status"], 200))
+        if ext_all is not None else None
+    )
+    if ext_all is not None:
+        res.fetch_log = ext_all.select(
+            ["url", "epoch", "depth", "status", "bytes", "ok"]
+        )
+        res.pages_fetched = res.extracted.num_rows
+    res.order = pa.concat_tables(acc["order"]) if acc["order"] else None
+    res.downloads = pa.concat_tables(acc["downloads"]) if acc["downloads"] else None
+    res.seen = pa.concat_tables(acc["seen"]) if acc["seen"] else None
+    res.n_epochs = epoch
+    res.counters = {
+        "epochs": epoch,
+        "pages_fetched": res.pages_fetched,
+        "seen": res.seen.num_rows if res.seen is not None else 0,
+    }
+    return res
+
+
+def _empty_downloads(epoch: int) -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "depth": pa.array([], pa.int32()),
+            "ok": pa.array([], pa.bool_()),
+            "retries": pa.array([], pa.int32()),
+            "bytes": pa.array([], pa.int64()),
+            "filename": pa.array([], pa.string()),
+            "epoch": pa.array([], pa.int32()),
+        }
+    )
+
+
+def _download_join(d_tbl: pa.Table, pages_path: str, cfg: CrawlConfig) -> pa.Table | None:
+    """Join-mode download simulation: anti/left join docs against the corpus
+    keyed on fetch_key (no process holds the corpus)."""
+    fks = [fetch_key(u) or "" for u in d_tbl["url"].to_pylist()]
+    d_ds = rd.from_arrow(d_tbl.append_column("fetch_key", pa.array(fks, pa.string())))
+    pages_ds = rd.read_parquet(pages_path, columns=["url", "html"]).map_batches(
+        lambda t: pa.table({"fetch_key": t["url"],
+                            "blen": pa.compute.binary_length(t["html"])}),
+        batch_format="pyarrow",
+    )
+    joined = d_ds.join(pages_ds, join_type="left_outer", num_partitions=2,
+                       on=("fetch_key",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        blens = batch["blen"].to_pylist()
+        oks = [b is not None for b in blens]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "depth": batch["depth"],
+                "ok": pa.array(oks, pa.bool_()),
+                "retries": pa.array(
+                    [0 if ok else cfg.max_retries for ok in oks], pa.int32()
+                ),
+                "bytes": pa.array(
+                    [b if b is not None else 0 for b in blens], pa.int64()
+                ),
+                "filename": pa.array(
+                    [extract_filename(u) for u in urls], pa.string()
+                ),
+            }
+        )
+
+    return _collect(joined.map_batches(finish, batch_format="pyarrow"))

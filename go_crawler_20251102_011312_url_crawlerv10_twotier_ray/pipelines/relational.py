@@ -1,0 +1,415 @@
+"""Relational query pipelines over the TPC-H-ish testdata tables.
+
+These exercise the engine's generic operator surface — filtered reads with
+column pruning, vectorized projections, partial-then-final grouped
+aggregation, broadcast semi-joins, hash joins (Dataset.join), sort/top-k,
+and windowed/sessionized event processing — each with a DuckDB-checkable
+ANSI-SQL oracle (driver contract in __ray_entry__.py).
+
+Float determinism: money sums are computed on ``round(value * 10^k)``
+int64 values (the inputs have ≤2-decimal money and ≤2-decimal rates, so the
+scaled products are mathematically integral and rounding is exact in both
+engines). Sums are then bit-identical regardless of summation order, and
+derived averages divide identical integers — so value-hash comparison
+against DuckDB is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# q1: pricing summary (TPC-H Q1 shape) — filter + partial agg + groupby
+# ---------------------------------------------------------------------------
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax", "l_shipdate"])
+
+    cutoff = np.datetime64(Q1_CUTOFF)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        tax = t["l_tax"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        disc_price = ext * (1 - disc)
+        charge = disc_price * (1 + tax)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_i": pa.array(np.rint(qty).astype(np.int64)),
+                "base_c": pa.array(np.rint(ext * 100).astype(np.int64)),
+                "disc_c4": pa.array(np.rint(disc_price * 10_000).astype(np.int64)),
+                "charge_c6": pa.array(np.rint(charge * 1_000_000).astype(np.int64)),
+                "disc_c": pa.array(np.rint(disc * 100).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_i", alias_name="sum_qty"),
+            Sum("base_c", alias_name="sum_base_c"),
+            Sum("disc_c4", alias_name="sum_disc_c4"),
+            Sum("charge_c6", alias_name="sum_charge_c6"),
+            Sum("disc_c", alias_name="sum_disc_c"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    agg["avg_qty"] = agg["sum_qty"] / agg["count_order"]
+    agg["avg_price"] = agg["sum_base_c"] / 100.0 / agg["count_order"]
+    agg["avg_disc"] = agg["sum_disc_c"] / 100.0 / agg["count_order"]
+    agg = agg.drop(columns=["sum_disc_c"])
+    return agg.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT))                                  AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))                       AS sum_base_c,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))  AS sum_disc_c4,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT))
+                                                                               AS sum_charge_c6,
+       count(*)                                                                AS count_order,
+       sum(CAST(round(l_quantity) AS BIGINT)) / CAST(count(*) AS DOUBLE)       AS avg_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*)    AS avg_price,
+       sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*)         AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q3: top orders by revenue — broadcast semi-join + hash join + top-k
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_keys = set(
+        cust.filter(lambda r: r["c_mktsegment"] == Q3_SEGMENT)
+        .to_pandas()["c_custkey"]
+    )
+    keys_ref = ray.put(cust_keys)  # broadcast the small side once
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    class SemiJoin:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([k in self.keys for k in t["o_custkey"].to_pylist()])
+            return t.filter(mask)
+
+    orders_f = orders.map_batches(
+        SemiJoin, fn_constructor_args=(keys_ref,), batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_c4": pa.array(np.rint(ext * (1 - disc) * 10_000).astype(np.int64)),
+            }
+        )
+
+    joined = line.map_batches(rev, batch_format="pyarrow").join(
+        orders_f, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = (
+        joined.groupby("l_orderkey")
+        .aggregate(Sum("rev_c4", alias_name="revenue_c4"),
+                   Min("o_orderdate", alias_name="o_orderdate"))
+        .to_pandas()
+    )
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})
+    out = out.sort_values(["revenue_c4", "o_orderkey"],
+                          ascending=[False, True]).head(10).reset_index(drop=True)
+    return out[["o_orderkey", "o_orderdate", "revenue_c4"]]
+
+
+Q3_SQL = f"""
+SELECT o.o_orderkey, min(o.o_orderdate) AS o_orderdate,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS revenue_c4
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+GROUP BY o.o_orderkey
+ORDER BY revenue_c4 DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q5: revenue by nation — broadcast dimension joins + grouped sum
+# ---------------------------------------------------------------------------
+
+
+def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    nation = _read(sf_dir, "nation").to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    bc = ray.put((cust_nation, nation_name))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    class AttachNation:
+        def __init__(self, ref):
+            self.cust_nation, self.nation_name = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = [self.cust_nation.get(c) for c in t["o_custkey"].to_pylist()]
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "n_name": pa.array(
+                        [self.nation_name.get(k) for k in nk], pa.string()
+                    ),
+                }
+            )
+
+    orders_n = orders.map_batches(
+        AttachNation, fn_constructor_args=(bc,), batch_format="pyarrow",
+        concurrency=2,
+    )
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_c4": pa.array(np.rint(ext * (1 - disc) * 10_000).astype(np.int64)),
+            }
+        )
+
+    joined = line.map_batches(rev, batch_format="pyarrow").join(
+        orders_n, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = (
+        joined.groupby("n_name")
+        .aggregate(Sum("rev_c4", alias_name="revenue_c4"))
+        .to_pandas()
+        .sort_values(["revenue_c4", "n_name"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    return out[["n_name", "revenue_c4"]]
+
+
+Q5_SQL = """
+SELECT n.n_name,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS revenue_c4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY revenue_c4 DESC, n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling-window aggregate + sessionization
+# ---------------------------------------------------------------------------
+
+
+def events_hourly_window(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def window(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts // 3_600_000_000) * 3_600_000_000
+        val = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pa.array(hour).cast(pa.timestamp("us")),
+                "value_c": pa.array(np.rint(val * 100).astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_c", alias_name="sum_value_c"))
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+EVENTS_WINDOW_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, window_start
+"""
+
+SESSION_GAP_MIN = 30
+
+
+def events_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Per-user session count + longest session length (gap > 30 min starts
+    a new session). groupby(user).map_groups over ts-sorted groups — the
+    streaming-shaped pattern (SURVEY.md §2.8); the SQL oracle uses window
+    functions."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    gap = np.timedelta64(SESSION_GAP_MIN * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        new_sess = np.ones(len(g), dtype=bool)
+        if len(ts) > 1:
+            new_sess[1:] = (ts[1:] - ts[:-1]) > gap
+        sess_id = np.cumsum(new_sess)
+        sizes = pd.Series(sess_id).value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(sess_id[-1])],
+                "n_events": [len(g)],
+                "max_session_events": [int(sizes.max())],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+EVENTS_SESSION_SQL = f"""
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM d
+), sizes AS (
+  SELECT user_id, sess_id, count(*) AS n FROM s GROUP BY user_id, sess_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT)  AS n_sessions,
+       CAST(sum(n) AS BIGINT)    AS n_events,
+       CAST(max(n) AS BIGINT)    AS max_session_events
+FROM sizes GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k customers by spend — groupby + sort + limit + broadcast name lookup
+# ---------------------------------------------------------------------------
+
+
+def top_customers(sf_dir: str) -> pd.DataFrame:
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "total_c": pa.array(np.rint(v * 100).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        orders.map_batches(cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("total_c", alias_name="spend_c"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    agg = agg.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    agg = agg.sort_values(["spend_c", "o_custkey"], ascending=[False, True]).head(10)
+    return agg[["o_custkey", "c_name", "spend_c", "n_orders"]].reset_index(drop=True)
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT o.o_custkey, c.c_name,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS spend_c,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY o.o_custkey, c.c_name
+ORDER BY spend_c DESC, o.o_custkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct / set-op coverage
+# ---------------------------------------------------------------------------
+
+
+def part_type_counts(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _read(sf_dir, "part", ["p_type", "p_size", "p_retailprice"])
+        .groupby("p_type")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Min("p_size", alias_name="min_size"),
+            Max("p_size", alias_name="max_size"),
+        )
+        .to_pandas()
+        .sort_values("p_type")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+PART_TYPE_SQL = """
+SELECT p_type, count(*) AS n_parts,
+       min(p_size) AS min_size, max(p_size) AS max_size
+FROM part GROUP BY p_type ORDER BY p_type
+"""

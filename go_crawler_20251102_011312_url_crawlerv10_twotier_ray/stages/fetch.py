@@ -1,0 +1,201 @@
+"""Tier-1 fetch + tier-2 extract as one streaming stage.
+
+The reference fetches live URLs with colly workers (reference
+crawler/crawler_twotier.go:52-80) and immediately tokenizes in OnResponse
+(:98-175). In this engine the "fetch" is a deterministic lookup of the
+page's ``fetch_key`` in the Parquet pages corpus (BASELINE input_hint) and
+the extract is the same RouteAndExtract kernel — fused into ONE map_batches
+stage so page bodies never make a second trip through the object store.
+
+Two corpus access modes (cfg.fetch_mode):
+
+- ``broadcast``: the url→html index is ``ray.put`` ONCE on the driver; each
+  actor materializes it in ``__init__`` (once per actor, not per batch).
+  Right for corpora that fit a worker's heap — e.g. test fixtures, or a
+  per-host shard of a larger corpus.
+- ``join``: ``Dataset.join`` of the scheduled frontier against the pages
+  table on the fetch key (hash-partitioned shuffle) followed by
+  ``ExtractJoined`` — the 100 TB path; no single process ever holds the
+  corpus.
+
+Raw-URL revisit filtering (colly's internal storage, T2 —
+crawler_twotier.go:200) happens here through the seen-shard actors
+(kind="raw"): an already-requested raw URL is logged with status 304 and not
+re-extracted. Statuses: 200 fetched, 404 not in corpus, 304 raw-revisit.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from ..config import CrawlConfig
+from ..functions.urlnorm import fetch_key
+from .extract import DOC_STRUCT, RouteAndExtract
+from .seen import check_and_add_batch
+
+PASSTHROUGH = ("url", "depth", "priority", "host", "url_norm")
+
+FETCHED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.int32()),
+        ("host", pa.string()),
+        ("url_norm", pa.string()),
+        ("status", pa.int32()),
+        ("bytes", pa.int64()),
+        ("ok", pa.bool_()),
+        ("path", pa.string()),
+        ("links", pa.list_(pa.string())),
+        ("link_count", pa.int32()),
+        ("title", pa.string()),
+        ("description", pa.string()),
+        ("has_nav", pa.bool_()),
+        ("link_density", pa.float64()),
+        ("documents", pa.list_(DOC_STRUCT)),
+        ("doc_count", pa.int32()),
+        ("text", pa.string()),
+    ]
+)
+
+_EXT_COLS = (
+    "path", "links", "link_count", "title", "description", "has_nav",
+    "link_density", "documents", "doc_count", "text",
+)
+
+
+def build_fetched_table(
+    batch: pa.Table, statuses: list[int], bodies: list[bytes | None],
+    extractor: RouteAndExtract,
+) -> pa.Table:
+    """Merge fetch statuses with extraction results (null extraction columns
+    for non-200 rows) into the stable FETCHED_SCHEMA."""
+    n = len(statuses)
+    fetch_idx = [i for i in range(n) if statuses[i] == 200]
+    ext = None
+    if fetch_idx:
+        sub = pa.table(
+            {
+                "url": pa.array([batch["url"][i].as_py() for i in fetch_idx]),
+                "html": pa.array([bodies[i] for i in fetch_idx], pa.binary()),
+            }
+        )
+        ext = extractor(sub)
+
+    cols: dict[str, pa.Array] = {}
+    for name in PASSTHROUGH:
+        cols[name] = batch[name].cast(FETCHED_SCHEMA.field(name).type)
+    cols["status"] = pa.array(statuses, pa.int32())
+    cols["bytes"] = pa.array(
+        [len(bodies[i]) if statuses[i] == 200 else 0 for i in range(n)], pa.int64()
+    )
+    cols["ok"] = pa.array([s == 200 for s in statuses], pa.bool_())
+
+    back = {fi: j for j, fi in enumerate(fetch_idx)}
+    for name in _EXT_COLS:
+        typ = FETCHED_SCHEMA.field(name).type
+        if ext is None:
+            cols[name] = pa.nulls(n, typ)
+        else:
+            src = ext[name]
+            cols[name] = pa.array(
+                [src[back[i]].as_py() if i in back else None for i in range(n)], typ
+            )
+    return pa.table({f.name: cols[f.name] for f in FETCHED_SCHEMA})
+
+
+# Per-worker-process cache for broadcast objects: a stateless map_batches
+# task re-runs in a reusable worker process, so ray.get of the broadcast
+# ref happens once per process, not once per task/batch. This keeps the
+# fetch stage as cheap tasks (no per-epoch actor-pool startup) while still
+# amortizing the corpus-index load.
+_WORKER_CACHE: dict[str, object] = {}
+
+
+def cached_broadcast(ref):
+    key = ref.hex()
+    if key not in _WORKER_CACHE:
+        _WORKER_CACHE[key] = ray.get(ref)
+    return _WORKER_CACHE[key]
+
+
+class FetchAndExtract:
+    """Broadcast-mode fused fetch+extract (stateless tasks + per-process
+    broadcast cache; the seen-shard HANDLES travel in the closure, the
+    corpus index only as an ObjectRef)."""
+
+    def __init__(self, cfg: CrawlConfig, corpus_ref, seen_handles: list):
+        self.cfg = cfg
+        self.corpus_ref = corpus_ref
+        self.seen_handles = seen_handles
+        self.extractor = RouteAndExtract(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.corpus: dict[str, bytes] = cached_broadcast(self.corpus_ref)
+        urls = batch["url"].to_pylist()
+        if not urls:
+            return FETCHED_SCHEMA.empty_table()
+        new_mask = check_and_add_batch(self.seen_handles, "raw", urls)
+        cap = self.cfg.max_body_bytes
+        statuses: list[int] = []
+        bodies: list[bytes | None] = []
+        for u, is_new in zip(urls, new_mask):
+            if not is_new:
+                statuses.append(304)
+                bodies.append(None)
+                continue
+            fk = fetch_key(u)
+            body = self.corpus.get(fk) if fk is not None else None
+            if body is None:
+                statuses.append(404)
+                bodies.append(None)
+            else:
+                statuses.append(200)
+                bodies.append(body[:cap])
+        return build_fetched_table(batch, statuses, bodies, self.extractor)
+
+
+class RawRevisitCheck:
+    """Join-mode stage 1: mark raw-revisits (status 304) and add the fetch
+    key column; runs before the corpus join."""
+
+    def __init__(self, seen_handles: list):
+        self.seen_handles = seen_handles
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        new_mask = check_and_add_batch(self.seen_handles, "raw", urls)
+        fks = [fetch_key(u) or "" for u in urls]
+        return batch.append_column(
+            "fetch_key", pa.array(fks, pa.string())
+        ).append_column("raw_new", pa.array(new_mask.tolist(), pa.bool_()))
+
+
+class ExtractJoined:
+    """Join-mode stage 2: after the left-outer corpus join, turn the
+    (nullable) html column into statuses and extract."""
+
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+        self.extractor = RouteAndExtract(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return FETCHED_SCHEMA.empty_table()
+        raw_new = batch["raw_new"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        cap = self.cfg.max_body_bytes
+        statuses, bodies = [], []
+        for i in range(n):
+            if not raw_new[i]:
+                statuses.append(304)
+                bodies.append(None)
+            elif htmls[i] is None:
+                statuses.append(404)
+                bodies.append(None)
+            else:
+                statuses.append(200)
+                bodies.append(htmls[i][:cap])
+        return build_fetched_table(batch, statuses, bodies, self.extractor)

@@ -1,0 +1,152 @@
+"""Sharded URL-seen filter — the engine's central stateful stage.
+
+The reference's three dedup structures are mutex-guarded in-process maps:
+
+- normalized-URL seen map (T1, crawler/crawler_twotier.go:23-24, 223-245),
+- colly's internal raw-URL revisit storage (T2, crawler_twotier.go:200),
+- downloaded∪pending document map (T3, downloader.go:41-44, 280-293).
+
+Here all three become ONE pool of ``SeenShard`` actors, hash-partitioned on
+the key (stable blake2b hash — not Python's salted ``hash``), each holding a
+Bloom front + exact set per key kind. ``check_and_add`` is atomic per shard
+(actor mailbox serializes calls), giving exactly-once accept semantics.
+Batches from any ``map_batches`` task route their keys to shards with
+:func:`check_and_add_batch`; the driver never funnels the key stream.
+
+Determinism: callers must deduplicate keys *within* an epoch before calling
+(pipelines/crawl.py does a groupby(url_norm) dedup with a deterministic
+tie-break first), so cross-batch call order cannot change which row wins.
+
+Scale notes: shard count is a config knob (cfg.seen_shards); at 10^10 URLs
+shards spread across the cluster (Ray places actors), the Bloom front keeps
+the hot path cheap and the exact sets are snapshot to per-shard Parquet at
+every epoch checkpoint (state/checkpoint.py) for resume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from ..state.bloom import BloomFilter, stable_hash64
+
+KINDS = ("norm", "raw", "doc")
+
+
+class SeenShard:
+    """One shard of the seen state. Instantiated via ray.remote."""
+
+    def __init__(self, shard_id: int, bloom_capacity: int = 1_000_000):
+        self.shard_id = shard_id
+        self.exact: dict[str, set[str]] = {k: set() for k in KINDS}
+        self.bloom: dict[str, BloomFilter] = {
+            k: BloomFilter(bloom_capacity) for k in KINDS
+        }
+
+    def check_and_add(self, kind: str, keys: list[str]) -> list[bool]:
+        """For each key: True if newly added (was not seen), else False.
+        Atomic for the whole call (actor model)."""
+        s = self.exact[kind]
+        bf = self.bloom[kind]
+        out = []
+        for k in keys:
+            if bf.might_contain(k) and k in s:
+                out.append(False)
+            else:
+                s.add(k)
+                bf.add(k)
+                out.append(True)
+        return out
+
+    def contains(self, kind: str, keys: list[str]) -> list[bool]:
+        s = self.exact[kind]
+        return [k in s for k in keys]
+
+    def add(self, kind: str, keys: list[str]) -> None:
+        s = self.exact[kind]
+        bf = self.bloom[kind]
+        for k in keys:
+            if k not in s:
+                s.add(k)
+                bf.add(k)
+
+    def size(self, kind: str) -> int:
+        return len(self.exact[kind])
+
+    def snapshot(self) -> dict:
+        """Checkpoint payload: exact keys per kind + bloom digest."""
+        return {
+            "shard_id": self.shard_id,
+            "exact": {k: sorted(v) for k, v in self.exact.items()},
+            "bloom_bytes": {k: self.bloom[k].to_bytes() for k in KINDS},
+            "bloom_added": {k: self.bloom[k].n_added for k in KINDS},
+        }
+
+    def restore(self, snap: dict) -> None:
+        for k in KINDS:
+            self.exact[k] = set(snap["exact"].get(k, []))
+            cap = self.bloom[k].capacity
+            self.bloom[k] = BloomFilter.from_bytes(
+                snap["bloom_bytes"][k], cap, self.bloom[k].fp_rate,
+                snap["bloom_added"][k],
+            ) if k in snap.get("bloom_bytes", {}) else self.bloom[k]
+
+
+class ShardedSeen:
+    """Driver-side handle bundle for the shard pool."""
+
+    def __init__(self, n_shards: int, bloom_capacity: int = 1_000_000):
+        self.n_shards = n_shards
+        actor_cls = ray.remote(num_cpus=0.1)(SeenShard)
+        self.shards = [
+            actor_cls.remote(i, bloom_capacity) for i in range(n_shards)
+        ]
+
+    def handles(self) -> list:
+        return self.shards
+
+    def check_and_add(self, kind: str, keys: list[str]) -> np.ndarray:
+        return check_and_add_batch(self.shards, kind, keys)
+
+    def total(self, kind: str) -> int:
+        return sum(ray.get([s.size.remote(kind) for s in self.shards]))
+
+    def snapshots(self) -> list[dict]:
+        return ray.get([s.snapshot.remote() for s in self.shards])
+
+    def restore(self, snaps: list[dict]) -> None:
+        ray.get(
+            [self.shards[s["shard_id"]].restore.remote(s) for s in snaps]
+        )
+
+    def kill(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+
+def shard_of(key: str, n_shards: int) -> int:
+    return stable_hash64(key) % n_shards
+
+
+def check_and_add_batch(shard_handles: list, kind: str, keys) -> np.ndarray:
+    """Route keys to their shards, check-and-add, reassemble the mask in
+    input order. Callable from inside map_batches tasks (actor handles are
+    serializable) — the hot-path seen probe never goes through the driver."""
+    keys = list(keys)
+    n = len(shard_handles)
+    per_shard: dict[int, list[int]] = {}
+    for idx, k in enumerate(keys):
+        per_shard.setdefault(shard_of(k, n), []).append(idx)
+    mask = np.zeros(len(keys), dtype=bool)
+    refs = []
+    order = []
+    for sid, idxs in per_shard.items():
+        refs.append(
+            shard_handles[sid].check_and_add.remote(kind, [keys[i] for i in idxs])
+        )
+        order.append(idxs)
+    for idxs, res in zip(order, ray.get(refs)):
+        for i, ok in zip(idxs, res):
+            mask[i] = ok
+    return mask
