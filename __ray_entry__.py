@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship pipeline: the full frontier crawl (fetch →
+  two-tier extract → dedup → politeness-scheduled epochs) over the
+  deterministic synthetic Common-Crawl-shaped corpus at smoke scale, plus a
+  smoke aggregate over /root/testdata/sf0.001. Returns the extracted table.
+- ``queries()``    — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data operator set).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query;
+  crawl-corpus oracles use read_parquet on the same deterministic corpus
+  the queries build (pure function of (seed, sf); see
+  pipelines/crawl_queries.py). Keys absent here get the driver's
+  rows-only check (approximate / stateful / not SQL-expressible).
 """
 
 from __future__ import annotations
@@ -18,27 +21,89 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
+    ann,
+    crawl_queries as cq,
+    dedup,
+    relational,
+    text,
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full crawl over the smoke corpus; returns the per-page
+    extraction table (url, path, links, metadata, byte-identical text)."""
+    import pandas as pd
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.config import (
+        CrawlConfig,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.crawl import (
+        run_crawl,
+    )
+
+    cdir = cq.corpus_for("/root/testdata/sf0.001")
+    res = run_crawl(cdir, CrawlConfig())
+    out = res.extracted.select(
+        ["url", "epoch", "depth", "path", "link_count", "doc_count", "text"]
+    ).to_pandas()
+    # smoke the generic relational surface on the driver-provided testdata
+    q1 = relational.q1_pricing_summary("/root/testdata/sf0.001")
+    assert len(q1) > 0
+    return out.sort_values("url").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- crawl engine (synthetic Common-Crawl-shaped corpus) ---
+        "crawl_extract_text": cq.crawl_extract_text,
+        "crawl_router_split": cq.crawl_router_split,
+        "crawl_link_stats": cq.crawl_link_stats,
+        "crawl_seen_set": cq.crawl_seen_set,
+        "crawl_fetch_log": cq.crawl_fetch_log,
+        "crawl_downloads": cq.crawl_downloads,
+        "media_features": cq.media_features_query,
+        # --- relational surface (testdata TPC-H-ish tables) ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "events_hourly_window": relational.events_hourly_window,
+        "events_sessionize": relational.events_sessionize,
+        "top_customers": relational.top_customers,
+        "part_type_counts": relational.part_type_counts,
+        # --- training-data ops: dedup ---
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        # --- similarity search ---
+        "ann_bruteforce_topk": ann.ann_bruteforce_topk,
+        "ann_lsh_topk": ann.ann_lsh_topk,
+        # --- text analysis ---
+        "token_counts": text.token_counts,
+        "quality_scores": text.quality_scores,
+        "doc_fingerprints": text.doc_fingerprints,
+        "doc_winnowing": text.doc_winnowing,
+        "lang_id": text.lang_id,
+        "lang_distribution": text.lang_distribution,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "crawl_extract_text": cq.CRAWL_EXTRACT_TEXT_SQL,
+        "crawl_router_split": cq.CRAWL_ROUTER_SPLIT_SQL,
+        "q1_pricing_summary": relational.Q1_SQL,
+        "q3_top_orders": relational.Q3_SQL,
+        "q5_nation_revenue": relational.Q5_SQL,
+        "events_hourly_window": relational.EVENTS_WINDOW_SQL,
+        "events_sessionize": relational.EVENTS_SESSION_SQL,
+        "top_customers": relational.TOP_CUSTOMERS_SQL,
+        "part_type_counts": relational.PART_TYPE_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "ann_bruteforce_topk": ann.ANN_BRUTEFORCE_SQL,
+        "token_counts": text.TOKEN_COUNTS_SQL,
+        "quality_scores": text.QUALITY_SQL,
+        "doc_fingerprints": text.FINGERPRINT_SQL,
+        "lang_distribution": text.LANG_DIST_SQL,
+    }

@@ -1,0 +1,188 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``ann_bruteforce_topk``: exact cosine top-k — the query matrix is
+  broadcast once (``ray.put``), every batch does ONE float64 matmul against
+  it (no Python loops), partial top-k per batch, final top-k merge on the
+  tiny partials. SQL-checkable against DuckDB ``list_cosine_similarity``.
+- ``ann_lsh_topk``: the scale path — random-hyperplane LSH buckets
+  (signed projections → bucket id), candidates only from matching buckets
+  (multi-probe over all query buckets), exact re-rank of candidates.
+  Approximate by construction → rows-only check + recall test in pytest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+LSH_PLANES = 12
+LSH_SEED = 777
+
+
+def _emb(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    q = (
+        _emb(sf_dir)
+        .filter(lambda r: r["vec_id"] < N_QUERIES)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    ids = q["vec_id"].to_numpy()
+    mat = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    return ids, mat / n[:, None]
+
+
+class _BatchTopK:
+    """Per-batch cosine vs the broadcast query matrix → per-query partial
+    top-k rows (query_id, vec_id, sim)."""
+
+    def __init__(self, ref, k: int):
+        self.ref = ref
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..stages.fetch import cached_broadcast
+
+        qids, qmat = cached_broadcast(self.ref)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t["embedding"].to_pylist()])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m / norms[:, None]) @ qmat.T  # (batch, n_queries)
+
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            col = sims[:, j]
+            mask = ids != qid  # exclude self
+            cand_ids = ids[mask]
+            cand_sims = col[mask]
+            if len(cand_ids) == 0:
+                continue
+            k = min(self.k, len(cand_ids))
+            # partial top-k with deterministic (−sim, vec_id) order
+            order = np.lexsort((cand_ids, -cand_sims))[:k]
+            out_q.extend([qid] * k)
+            out_v.extend(cand_ids[order].tolist())
+            out_s.extend(cand_sims[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _final_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    partials = partials.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out = partials.groupby("query_id", as_index=False).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "vec_id", "rank"]].reset_index(drop=True)
+
+
+def ann_bruteforce_topk(sf_dir: str) -> pd.DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 10).
+    Returns (query_id, vec_id, rank) — ranks only, so the value-hash
+    comparison with the SQL oracle is float-order-free except for genuine
+    near-ties (broken by vec_id on both sides)."""
+    ids, qmat = _query_matrix(sf_dir)
+    ref = ray.put((ids, qmat))
+    partials = (
+        _emb(sf_dir)
+        .map_batches(_BatchTopK(ref, TOP_K), batch_format="pyarrow",
+                     batch_size=512)
+        .to_pandas()
+    )
+    return _final_topk(partials, TOP_K)
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+         ) AS rank
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, rank FROM scored WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucketing. Vectors shuffle
+    only their (bucket, id) rows; candidate re-rank touches only bucket
+    collisions. Returns the same (query_id, vec_id, rank) shape."""
+    ids, qmat = _query_matrix(sf_dir)
+    dim = qmat.shape[1]
+    rng = np.random.RandomState(LSH_SEED)
+    planes = rng.standard_normal((dim, LSH_PLANES))
+    qsig = (qmat @ planes > 0).astype(np.uint32)
+    qbuckets = (qsig * (1 << np.arange(LSH_PLANES, dtype=np.uint32))).sum(axis=1)
+    ref = ray.put((ids, qmat, planes, qbuckets))
+
+    class BucketMatch:
+        def __init__(self, r):
+            self.ref = r
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from ..stages.fetch import cached_broadcast
+
+            qids, qm, pl, qb = cached_broadcast(self.ref)
+            vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in t["embedding"].to_pylist()])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            mn = m / norms[:, None]
+            sig = (mn @ pl > 0).astype(np.uint32)
+            buckets = (sig * (1 << np.arange(pl.shape[1], dtype=np.uint32))).sum(axis=1)
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                hit = (buckets == qb[j]) & (vids != qid)
+                if not hit.any():
+                    continue
+                sims = mn[hit] @ qm[j]
+                cids = vids[hit]
+                order = np.lexsort((cids, -sims))[: TOP_K]
+                out_q.extend([qid] * len(order))
+                out_v.extend(cids[order].tolist())
+                out_s.extend(sims[order].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = (
+        _emb(sf_dir)
+        .map_batches(BucketMatch(ref), batch_format="pyarrow", batch_size=512)
+        .to_pandas()
+    )
+    if not len(partials):
+        return pd.DataFrame(
+            {"query_id": [], "vec_id": [], "rank": []}
+        ).astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+    return _final_topk(partials, TOP_K)

@@ -1,0 +1,195 @@
+"""Driver-facing crawl queries over the synthetic pages corpus.
+
+The crawl operators run over a Common-Crawl-shaped ``pages`` table
+(BASELINE input_hint) which does not exist in the TPC-H-ish testdata, so
+each query materializes the deterministic synthetic corpus for its scale
+factor under ``/tmp/graft_corpus/<sf>/`` (pure function of (seed, size);
+cached across calls via a _SUCCESS stamp). The DuckDB oracles reference the
+same parquet file via ``read_parquet`` — in particular
+``crawl_extract_text``'s oracle simply reads the ``text`` column the pinned
+oracle minted at generation time, which makes the driver's value-hash
+comparison EXACTLY the byte-identical-extraction gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..config import CrawlConfig
+from ..corpus import write_corpus
+from ..stages.extract import RouteAndExtract
+from .crawl import run_crawl
+
+CORPUS_ROOT = "/tmp/graft_corpus"
+_SF_PAGES = {"sf0.001": 120, "sf0.01": 800, "sf0.1": 20000}
+_SF_HOSTS = {"sf0.001": 6, "sf0.01": 12, "sf0.1": 40}
+CORPUS_SEED = 42
+
+
+def corpus_for(sf_dir: str) -> str:
+    """Deterministic corpus directory for a testdata sf dir (cached)."""
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    n = _SF_PAGES.get(sf, 800)
+    h = _SF_HOSTS.get(sf, 12)
+    return write_corpus(
+        os.path.join(CORPUS_ROOT, sf), n_pages=n, n_hosts=h, seed=CORPUS_SEED
+    )
+
+
+# path the driver's sf0.01 oracle SQL reads (stable by construction)
+SF001_PAGES = os.path.join(CORPUS_ROOT, "sf0.01", "pages.parquet")
+
+
+def crawl_extract_text(sf_dir: str) -> pd.DataFrame:
+    """M1 slice: route+extract EVERY corpus page (read_parquet →
+    map_batches → select). Output (url, text) must equal the pages table's
+    oracle-minted text column byte-for-byte."""
+    cdir = corpus_for(sf_dir)
+    ds = rd.read_parquet(os.path.join(cdir, "pages.parquet"),
+                         columns=["url", "html"])
+    out = ds.map_batches(
+        RouteAndExtract(CrawlConfig()), batch_format="pyarrow", batch_size=64
+    ).select_columns(["url", "text"])
+    return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+CRAWL_EXTRACT_TEXT_SQL = f"""
+SELECT url, text FROM read_parquet('{SF001_PAGES}') ORDER BY url
+"""
+
+
+def crawl_router_split(sf_dir: str) -> pd.DataFrame:
+    """Routing decision counts over the corpus — the coordinator's
+    fast/slow split (coordinator.go:102-112), SQL-checkable because the
+    whole decision tree is re-expressed in the oracle SQL."""
+    cdir = corpus_for(sf_dir)
+    ds = rd.read_parquet(os.path.join(cdir, "pages.parquet"),
+                         columns=["url", "html"])
+
+    import pyarrow.compute as pc
+
+    from ..functions.router import route_batch
+
+    cfg = CrawlConfig()
+
+    def route(t: pa.Table) -> pa.Table:
+        sizes = pc.min_element_wise(
+            pc.binary_length(t["html"]).cast(pa.int64()),
+            pa.scalar(cfg.max_body_bytes, pa.int64()),
+        ).to_numpy(zero_copy_only=False)
+        paths = route_batch(pd.Series(t["url"].to_pylist()), sizes)
+        return pa.table({"path": pa.array(paths.tolist(), pa.string())})
+
+    out = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("path")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n"})
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+CRAWL_ROUTER_SPLIT_SQL = f"""
+WITH p AS (
+  SELECT url, least(octet_length(html), 5242880) AS sz, lower(url) AS lu,
+         CASE WHEN strpos(url, '#') > 0
+              THEN substr(url, 1, strpos(url, '#') - 1) ELSE url END AS prefrag
+  FROM read_parquet('{SF001_PAGES}')
+), q AS (
+  SELECT url, sz, lu,
+         CASE WHEN strpos(prefrag, '?') > 0
+              THEN substr(prefrag, strpos(prefrag, '?') + 1) ELSE '' END AS qs,
+         CASE WHEN strpos(prefrag, '?') > 0
+              THEN substr(prefrag, 1, strpos(prefrag, '?') - 1)
+              ELSE prefrag END AS noq
+  FROM p
+), r AS (
+  SELECT url, sz, lu, qs,
+         regexp_replace(noq, '^[^:/?#]+://[^/?#]*', '') AS pth
+  FROM q
+)
+SELECT CASE
+    WHEN sz > 512000 THEN 'slow'
+    WHEN lu LIKE '%/document%' OR lu LIKE '%/paper%' OR lu LIKE '%/publication%'
+         OR lu LIKE '%/research%' OR lu LIKE '%/library%' THEN 'slow'
+    WHEN qs <> '' THEN 'slow'
+    WHEN sz < 102400 THEN 'fast'
+    WHEN lu LIKE '%/sitemap%' OR lu LIKE '%/archive%' OR lu LIKE '%/category%'
+         OR lu LIKE '%/tag%' OR lu LIKE '%/index%' OR lu LIKE '%/list%' THEN 'fast'
+    WHEN length(pth) - length(replace(pth, '/', '')) + 1 <= 3 THEN 'fast'
+    ELSE 'slow' END AS path,
+  count(*) AS n
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def crawl_link_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-path link/doc aggregate over the full extract — the reference's
+    two-tier performance counters (T7, fastpath.go:129-139,
+    slowpath.go:174-185) derived from data instead of atomics."""
+    from ray.data.aggregate import Count, Sum
+
+    cdir = corpus_for(sf_dir)
+    ds = rd.read_parquet(os.path.join(cdir, "pages.parquet"),
+                         columns=["url", "html"])
+    ext = ds.map_batches(
+        RouteAndExtract(CrawlConfig()), batch_format="pyarrow", batch_size=64
+    )
+    out = (
+        ext.groupby("path")
+        .aggregate(
+            Count(alias_name="pages"),
+            Sum("link_count", alias_name="links"),
+            Sum("doc_count", alias_name="docs"),
+        )
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    for c in ("pages", "links", "docs"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def crawl_seen_set(sf_dir: str) -> pd.DataFrame:
+    """Full frontier crawl; returns the final URL-seen set (rows-only
+    driver check; pytest gates exact equality vs the oracle simulator)."""
+    cdir = corpus_for(sf_dir)
+    res = run_crawl(cdir, CrawlConfig())
+    return (
+        res.seen.to_pandas()[["url_norm", "first_depth", "url"]]
+        .sort_values("url_norm")
+        .reset_index(drop=True)
+    )
+
+
+def crawl_fetch_log(sf_dir: str) -> pd.DataFrame:
+    """Fetch log of the full crawl (statuses 200/304/404; rows-only)."""
+    cdir = corpus_for(sf_dir)
+    res = run_crawl(cdir, CrawlConfig())
+    return (
+        res.fetch_log.to_pandas()
+        .sort_values(["epoch", "url"])
+        .reset_index(drop=True)
+    )
+
+
+def crawl_downloads(sf_dir: str) -> pd.DataFrame:
+    """Document download log of the full crawl (rows-only)."""
+    cdir = corpus_for(sf_dir)
+    res = run_crawl(cdir, CrawlConfig())
+    return res.downloads.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+def media_features_query(sf_dir: str) -> pd.DataFrame:
+    from .multimodal import media_features
+
+    return media_features(corpus_for(sf_dir))

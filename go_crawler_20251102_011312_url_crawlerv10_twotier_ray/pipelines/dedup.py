@@ -263,11 +263,12 @@ def dedup_embedding_cosine(sf_dir: str) -> pd.DataFrame:
                 }
             )
 
-    out = (
-        ds.map_batches(Block, fn_constructor_args=(ref,), batch_format="pyarrow",
-                       batch_size=256, concurrency=2)
-        .to_pandas()
-        .sort_values(["vec_a", "vec_b"])
-        .reset_index(drop=True)
-    )
-    return out
+    out = ds.map_batches(
+        Block, fn_constructor_args=(ref,), batch_format="pyarrow",
+        batch_size=256, concurrency=2,
+    ).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_pct": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cos_pct": "int64"}
+        )
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

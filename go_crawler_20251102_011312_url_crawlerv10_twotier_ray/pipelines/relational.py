@@ -41,7 +41,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                 "l_discount", "l_tax", "l_shipdate"])
 
-    cutoff = np.datetime64(Q1_CUTOFF)
+    cutoff = np.datetime64(Q1_CUTOFF, "us")
 
     def project(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
@@ -148,9 +148,10 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     out = (
-        joined.groupby("l_orderkey")
-        .aggregate(Sum("rev_c4", alias_name="revenue_c4"),
-                   Min("o_orderdate", alias_name="o_orderdate"))
+        joined.groupby(["l_orderkey", "o_orderdate"])  # orderdate is
+        # functionally dependent on the order key — grouping by both avoids
+        # a (non-numeric) Min aggregate on the timestamp
+        .aggregate(Sum("rev_c4", alias_name="revenue_c4"))
         .to_pandas()
     )
     out = out.rename(columns={"l_orderkey": "o_orderkey"})
@@ -160,13 +161,13 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
 
 Q3_SQL = f"""
-SELECT o.o_orderkey, min(o.o_orderdate) AS o_orderdate,
+SELECT o.o_orderkey, o.o_orderdate,
        sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS revenue_c4
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = '{Q3_SEGMENT}'
-GROUP BY o.o_orderkey
+GROUP BY o.o_orderkey, o.o_orderdate
 ORDER BY revenue_c4 DESC, o.o_orderkey
 LIMIT 10
 """

@@ -1,0 +1,246 @@
+"""Text-analysis pipelines over the ``documents`` table: token counting,
+quality scoring, document fingerprinting, language ID — the per-document
+scoring stages of a large-scale training-data pipeline, each a vectorized
+(or compiled-regex) map_batches kernel."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# token counts (SQL-checkable)
+# ---------------------------------------------------------------------------
+
+
+def token_counts(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_tokens, n_chars_actual) — tokens = maximal \\S+ runs,
+    matching the SQL oracle's regexp_extract_all."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(
+                    s.str.count(r"\S+").astype("int64"), pa.int64()
+                ),
+                "n_chars_actual": pa.array(s.str.len().astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(count, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (SQL-checkable: pure counts + integer-derived ratios)
+# ---------------------------------------------------------------------------
+
+
+def quality_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-doc quality signals: char/token counts, punctuation and
+    uppercase counts, mean token length ×100 (integer — float-safe)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist())
+        n_chars = s.str.len().astype("int64")
+        n_tokens = s.str.count(r"\S+").astype("int64")
+        n_upper = s.str.count(r"[A-Z]").astype("int64")
+        n_punct = s.str.count(r"[.,;:!?]").astype("int64")
+        n_nonspace = s.str.count(r"\S").astype("int64")
+        mean_tok_len_c = (
+            (n_nonspace * 100) // n_tokens.clip(lower=1)
+        ).astype("int64")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_actual": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_upper": pa.array(n_upper, pa.int64()),
+                "n_punct": pa.array(n_punct, pa.int64()),
+                "mean_tok_len_c": pa.array(mean_tok_len_c, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+QUALITY_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT)                                   AS n_chars_actual,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)        AS n_tokens,
+       CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) * 100
+         // greatest(CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT), 1)
+                                                                      AS mean_tok_len_c
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting (md5: SQL-checkable; winnowing: rows-only)
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fp_md5": pa.array(
+                    [hashlib.md5(x.encode()).hexdigest()
+                     for x in t["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id
+"""
+
+
+def doc_winnowing(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprint sets (rolling-hash minima) per doc — the
+    plagiarism/near-dup fingerprint. Rows-only check."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import rolling_fingerprints
+
+        ids, fps = [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ids.append(doc_id)
+            fps.append([f & 0x7FFFFFFFFFFFFFFF for f in rolling_fingerprints(text)])
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "fingerprints": pa.array(fps, pa.list_(pa.int64()))}
+        )
+
+    out = ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram/stopword heuristic; rows-only vs the lang column)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "nicht", "mit", "für", "von"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "que", "dans"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "por", "para"},
+}
+
+
+class LangId:
+    """Stopword-hit language scorer (compiled once per actor — the
+    stateful-stage pattern); falls back to 'und' (undetermined)."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-ZäöüßéèêàçñÀ-ÿ]+")
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds, scores = [], []
+        for text in t["text"].to_pylist():
+            words = [w.lower() for w in self.word.findall(text)]
+            if not words:
+                preds.append("und")
+                scores.append(0)
+                continue
+            hits = {
+                lang: sum(w in tbl for w in words)
+                for lang, tbl in self.tables.items()
+            }
+            best = max(sorted(hits), key=lambda k: hits[k])
+            if hits[best] == 0:
+                preds.append("und")
+                scores.append(0)
+            else:
+                preds.append(best)
+                scores.append(int(hits[best] * 1000 / len(words)))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "lang_pred": pa.array(preds, pa.string()),
+                "hit_permille": pa.array(scores, pa.int64()),
+            }
+        )
+
+
+def lang_id(sf_dir: str) -> pd.DataFrame:
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    return (
+        ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus language distribution (SQL-checkable groupby over the lang column)
+# ---------------------------------------------------------------------------
+
+
+def lang_distribution(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+LANG_DIST_SQL = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""

