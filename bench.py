@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline pipelines at ``$RAY_GRAFT_CPUS`` (default 32)
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" (per-pipeline sec),
+"sf", "num_cpus", ...derived throughputs}.
+
+``--scaling``: runs the same job twice in FRESH processes at 8 and 32 CPUs
+on the same input (the in-sandbox evidence for the north rule's N→4N
+cluster-scaling criterion) and prints one JSON line with both throughputs
+and the scaling efficiency.
+
+Headline pipelines:
+- crawl      — full frontier crawl (fetch → two-tier extract → dedup →
+               schedule) over the deterministic bench corpus (Common-Crawl-
+               shaped pages table; pure function of (seed, sf)).
+- extract    — the M1 tokenizer slice alone (read_parquet → route+extract
+               map_batches → count), the reference's two-tier hot loop.
+- relational/dedup/ann/text queries over the $GRAFT_SF_DIR tables.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = "/tmp/graft_bench"
+
+METRIC = ("URLs fetched+extracted/sec on Common-Crawl-style Parquet pages "
+          "under fixed seed list + politeness budget")
+
+
+def _sf_name() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR)) or "sf0.1"
+
+
+def _bench_corpus() -> str:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.corpus import (
+        write_corpus,
+    )
+
+    sf = _sf_name()
+    try:
+        frac = float(sf.replace("sf", ""))
+    except ValueError:
+        frac = 0.1
+    n_pages = max(2000, int(600_000 * frac))
+    return write_corpus(
+        os.path.join(BENCH_ROOT, sf),
+        n_pages=n_pages,
+        n_hosts=50,
+        seed=42,
+        mint_text=False,      # text minting is a test concern, not a bench one
+        include_huge=False,
+        chain_len=4,          # keep epochs extraction-dominated
+        hub_fanout=400,
+    )
+
+
+def run_bench() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import logging
+
+    import ray
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.config import (
+        CrawlConfig,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
+        ann, dedup, relational, text,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.crawl import (
+        run_crawl,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.stages.extract import (
+        RouteAndExtract,
+    )
+
+    corpus_dir = _bench_corpus()
+    pages_dir = os.path.join(corpus_dir, "pages")
+
+    # warm the OS page cache so we measure compute+shuffle, not cold reads
+    for part in os.listdir(pages_dir):
+        with open(os.path.join(pages_dir, part), "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # untimed warm-up: spawn the worker pool and import the kernels in every
+    # worker process so the timed sections measure compute, not cold starts
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.sources.pages import (
+        read_pages as _rp,
+    )
+
+    (_rp(corpus_dir, columns=["url", "html"])
+     .limit(2000)
+     .map_batches(RouteAndExtract(CrawlConfig()), batch_format="pyarrow",
+                  batch_size=64)
+     .count())
+
+    # --- extract slice (the reference's two-tier tokenizer hot loop) ---
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.sources.pages import (
+        read_pages,
+    )
+
+    t0 = time.perf_counter()
+    n_pages = (
+        read_pages(corpus_dir, columns=["url", "html"])
+        .map_batches(RouteAndExtract(CrawlConfig()), batch_format="pyarrow",
+                     batch_size=128)
+        .count()
+    )
+    queries["extract"] = round(time.perf_counter() - t0, 3)
+    extra["extract_pages_per_sec"] = round(n_pages / queries["extract"], 1)
+
+    # --- full frontier crawl ---
+    t0 = time.perf_counter()
+    res = run_crawl(corpus_dir, CrawlConfig())
+    queries["crawl"] = round(time.perf_counter() - t0, 3)
+    n_urls = res.order.num_rows  # URLs scheduled+fetched through the frontier
+    extra["crawl_urls_per_sec"] = round(n_urls / queries["crawl"], 1)
+    extra["crawl_pages_fetched"] = res.pages_fetched
+    extra["crawl_epochs"] = res.n_epochs
+
+    # --- generic operator surface over $GRAFT_SF_DIR ---
+    for name, fn in [
+        ("q1_pricing_summary", relational.q1_pricing_summary),
+        ("q3_top_orders", relational.q3_top_orders),
+        ("q5_nation_revenue", relational.q5_nation_revenue),
+        ("events_hourly_window", relational.events_hourly_window),
+        ("events_sessionize", relational.events_sessionize),
+        ("dedup_exact", dedup.dedup_exact),
+        ("dedup_minhash_lsh", dedup.dedup_minhash_lsh),
+        ("ann_bruteforce_topk", ann.ann_bruteforce_topk),
+        ("token_counts", text.token_counts),
+        ("quality_scores", text.quality_scores),
+    ]:
+        t0 = time.perf_counter()
+        fn(SF_DIR)
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": METRIC,
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_name(),
+        "num_cpus": NCPU,
+        **extra,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    ratio = hi / lo
+
+    def eff(key):
+        return round((r_lo["queries"][key] / r_hi["queries"][key]) / ratio, 3)
+
+    return {
+        "metric": "scaling efficiency (same job, fresh ray.init at "
+                  f"{lo} vs {hi} CPUs)",
+        "cpus": [lo, hi],
+        "sec_lo": {k: r_lo["queries"][k] for k in ("crawl", "extract")},
+        "sec_hi": {k: r_hi["queries"][k] for k in ("crawl", "extract")},
+        "urls_per_sec": [r_lo["crawl_urls_per_sec"], r_hi["crawl_urls_per_sec"]],
+        "extract_pages_per_sec": [r_lo["extract_pages_per_sec"],
+                                  r_hi["extract_pages_per_sec"]],
+        "scaling_efficiency_crawl": eff("crawl"),
+        "scaling_efficiency_extract": eff("extract"),
+        "total_lo": r_lo["value"],
+        "total_hi": r_hi["value"],
+        "scaling_efficiency_total": round((r_lo["value"] / r_hi["value"]) / ratio, 3),
+        "sf": _sf_name(),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

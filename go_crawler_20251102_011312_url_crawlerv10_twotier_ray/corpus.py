@@ -80,6 +80,8 @@ def build_corpus(
     seed: int = 42,
     mint_text: bool = True,
     include_huge: bool = True,
+    chain_len: int = 17,
+    hub_fanout: int = 40,
     cfg: CrawlConfig = CrawlConfig(),
 ):
     """Build the corpus in memory.
@@ -91,7 +93,8 @@ def build_corpus(
     langs = ["en", "en", "en", "de", "fr"]
 
     root_url = f"http://{_host(0)}/"
-    chain_len = 17  # > MaxDepth=13 to exercise the depth gate
+    # default chain_len=17 > MaxDepth=13 exercises the depth gate; bench
+    # corpora use a short chain so epochs stay extraction-dominated
     urls: list[str] = [root_url]
     kinds: dict[str, str] = {root_url: "root"}
 
@@ -139,7 +142,7 @@ def build_corpus(
     for idx, u in enumerate(urls):
         kind = kinds[u]
         html = _render(u, kind, idx, rng, urls, hub_urls, chain_urls,
-                       pdf_urls, content_urls, by_host, n_hosts)
+                       pdf_urls, content_urls, by_host, hub_fanout)
         body = html[: cfg.max_body_bytes]
         text = (
             extract_page(u, body, cfg.doc_extensions).text if mint_text else ""
@@ -206,7 +209,7 @@ def _quirks(rng: random.Random, i: int, host: str) -> str:
 
 
 def _render(url, kind, idx, rng, urls, hub_urls, chain_urls, pdf_urls,
-            content_urls, by_host, n_hosts) -> bytes:
+            content_urls, by_host, hub_fanout) -> bytes:
     host = url.split("/")[2]
     parts = []
     has_title = rng.random() < 0.8
@@ -226,7 +229,7 @@ def _render(url, kind, idx, rng, urls, hub_urls, chain_urls, pdf_urls,
         links = hub_urls + [chain_urls[0]]
     elif kind == "hub":
         mine = by_host.get(host, [])
-        links = mine[:40]
+        links = mine[:hub_fanout]
         # cross-host spokes keep the graph connected
         links += [hub_urls[(idx + 1) % len(hub_urls)]]
     elif kind == "chain":
@@ -314,6 +317,8 @@ def write_corpus(
     seed: int = 42,
     mint_text: bool = True,
     include_huge: bool = True,
+    chain_len: int = 17,
+    hub_fanout: int = 40,
 ) -> str:
     """Generate and write pages/seeds/politeness parquet under ``out_dir``.
 
@@ -321,20 +326,34 @@ def write_corpus(
     (corpora are pure functions of the parameters, which are recorded in the
     marker)."""
     marker = os.path.join(out_dir, "_SUCCESS")
-    stamp = f"v1:{n_pages}:{n_hosts}:{seed}:{mint_text}:{include_huge}"
+    stamp = (f"v2:{n_pages}:{n_hosts}:{seed}:{mint_text}:{include_huge}"
+             f":{chain_len}:{hub_fanout}")
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
     pages, seeds, politeness = build_corpus(
-        n_pages, n_hosts, seed, mint_text, include_huge
+        n_pages, n_hosts, seed, mint_text, include_huge, chain_len, hub_fanout
     )
-    pq.write_table(
-        pa.Table.from_pylist(pages, schema=PAGES_SCHEMA),
-        os.path.join(out_dir, "pages.parquet"),
-        row_group_size=2048,
-    )
+    # pages is a DIRECTORY of part files: ray.data.read_parquet issues one
+    # read task per file, so a single-file corpus would serialize the read
+    # (and fuse serially with downstream map_batches); part files are also
+    # the resumable per-shard layout the 100 TB path assumes
+    pages_dir = os.path.join(out_dir, "pages")
+    os.makedirs(pages_dir, exist_ok=True)
+    for f in os.listdir(pages_dir):
+        os.remove(os.path.join(pages_dir, f))
+    tbl = pa.Table.from_pylist(pages, schema=PAGES_SCHEMA)
+    rows_per_part = 1024
+    n_parts = max(1, (tbl.num_rows + rows_per_part - 1) // rows_per_part)
+    for p in range(n_parts):
+        pq.write_table(
+            tbl.slice(p * rows_per_part, rows_per_part),
+            os.path.join(pages_dir, f"part-{p:05d}.parquet"),
+            row_group_size=512,
+            compression="none",  # synthetic html: trade disk for read speed
+        )
     pq.write_table(
         pa.Table.from_pylist([{"url": s} for s in seeds],
                              schema=pa.schema([("url", pa.string())])),
@@ -355,8 +374,15 @@ def write_corpus(
     return out_dir
 
 
+def pages_path(corpus_dir: str) -> str:
+    return os.path.join(corpus_dir, "pages")
+
+
+def read_pages_table(corpus_dir: str, columns=None) -> pa.Table:
+    return pq.read_table(pages_path(corpus_dir), columns=columns)
+
+
 def load_corpus_dict(corpus_dir: str) -> dict[str, bytes]:
     """fetch_key → html mapping for the oracle simulator."""
-    t = pq.read_table(os.path.join(corpus_dir, "pages.parquet"),
-                      columns=["url", "html"])
+    t = read_pages_table(corpus_dir, columns=["url", "html"])
     return dict(zip(t["url"].to_pylist(), t["html"].to_pylist()))

@@ -123,18 +123,48 @@ def _schedule_pandas(
     return scheduled, deferred
 
 
-def _pick_min_per_norm(g: pd.DataFrame) -> pd.DataFrame:
-    return g.sort_values(["depth", "url"], kind="mergesort").head(1)
+# Epoch-wide candidate dedup key: "%09d\x1f%s" % (depth, url) — zero-padded
+# depth makes lexicographic min == min((depth, url)). The dedup itself is
+# fused into the seen shards (SeenShard.offer_min/drain_epoch): min is
+# order-independent, so racing candidate batches stay deterministic, and no
+# groupby shuffle is needed for the frontier.
 
 
-def _make_seen_filter(handles):
-    def seen_filter(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        mask = check_and_add_batch(handles, "norm", batch["url_norm"].to_pylist())
-        return batch.filter(pa.array(mask))
+def _make_offer_stage(handles):
+    from ..stages.seen import offer_min_batch
 
-    return seen_filter
+    def offer_stage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            norms = batch["url_norm"].to_pylist()
+            keys = [
+                "%09d\x1f%s" % (d, u)
+                for d, u in zip(batch["depth"].to_pylist(),
+                                batch["url"].to_pylist())
+            ]
+            offer_min_batch(handles, "norm", norms, keys)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    return offer_stage
+
+
+def _accepted_to_table(accepted: list[tuple[str, str]]) -> pa.Table | None:
+    if not accepted:
+        return None
+    norms, urls, depths, hosts = [], [], [], []
+    for norm, key in accepted:
+        d, u = key.split("\x1f", 1)
+        norms.append(norm)
+        depths.append(int(d))
+        urls.append(u)
+        hosts.append(host_of(u) or "")
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "url_norm": pa.array(norms, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "depth": pa.array(depths, pa.int32()),
+        }
+    )
 
 
 def _collect(ds: rd.Dataset) -> pa.Table:
@@ -156,14 +186,12 @@ class DownloadSim:
         self.corpus_ref = corpus_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..stages.fetch import cached_broadcast
+        from ..stages.fetch import corpus_lookup
 
-        self.corpus = cached_broadcast(self.corpus_ref)
         urls = batch["url"].to_pylist()
         oks, sizes = [], []
         for u in urls:
-            fk = fetch_key(u)
-            body = self.corpus.get(fk) if fk is not None else None
+            body = corpus_lookup(self.corpus_ref, fetch_key(u))
             oks.append(body is not None)
             sizes.append(len(body) if body is not None else 0)
         return pa.table(
@@ -208,16 +236,20 @@ def run_crawl(
     host_budgets = host_budgets or {}
     robots_disallow = robots_disallow if cfg.respect_robots else {}
 
-    pages_path = os.path.join(corpus_dir, "pages.parquet")
-    n_corpus_rows = pq.read_metadata(pages_path).num_rows
+    pages_path = os.path.join(corpus_dir, "pages")
+    import pyarrow.dataset as pads
+
+    n_corpus_rows = pads.dataset(pages_path).count_rows()
     mode = cfg.fetch_mode
     if mode == "auto":
         mode = "broadcast" if n_corpus_rows <= cfg.broadcast_row_limit else "join"
 
     corpus_ref = None
     if mode == "broadcast":
-        t = pq.read_table(pages_path, columns=["url", "html"])
-        corpus_ref = ray.put(dict(zip(t["url"].to_pylist(), t["html"].to_pylist())))
+        # broadcast as an Arrow table: zero-copy page bytes in plasma,
+        # shared by every worker process (stages/fetch.cached_corpus_index)
+        t = pq.read_table(pages_path, columns=["url", "html"]).combine_chunks()
+        corpus_ref = ray.put(t)
 
     seen = ShardedSeen(cfg.seen_shards)
     res = CrawlRunResult()
@@ -259,11 +291,23 @@ def run_crawl(
                 cfg.checkpoint_dir, done[-1], "frontier_next"
             ).to_pandas()
 
+    import sys as _sys
+    import time as _time
+
+    debug = bool(os.environ.get("GRAFT_CRAWL_DEBUG"))
+
+    def _tick(label, t0):
+        if debug:
+            print(f"[crawl e{epoch}] {label}: {_time.perf_counter()-t0:.2f}s",
+                  file=_sys.stderr)
+        return _time.perf_counter()
+
     epoch = start_epoch
     try:
         while len(frontier) > 0:
             if max_epochs is not None and epoch - start_epoch >= max_epochs:
                 break
+            _t = _time.perf_counter()
             scheduled, deferred = _schedule_pandas(
                 frontier, host_budgets, cfg.default_host_budget
             )
@@ -297,7 +341,9 @@ def run_crawl(
                     batch_format="pyarrow",
                     batch_size=cfg.extract_batch_size,
                 )
-                pages_ds = rd.read_parquet(pages_path, columns=["url", "html"]).map_batches(
+                from ..sources.pages import read_pages
+
+                pages_ds = read_pages(pages_path, columns=["url", "html"]).map_batches(
                     lambda t: t.rename_columns(["fetch_key", "html"]),
                     batch_format="pyarrow",
                 )
@@ -312,7 +358,9 @@ def run_crawl(
                     batch_format="pyarrow",
                     batch_size=cfg.extract_batch_size,
                 )
+            _t = _tick("schedule", _t)
             fetched = fetched.materialize()
+            _t = _tick("fetch+extract", _t)
 
             # --- candidate links -> epoch dedup -> seen anti-join ---
             candidates = fetched.map_batches(
@@ -320,13 +368,16 @@ def run_crawl(
                 batch_format="pyarrow",
                 batch_size=cfg.extract_batch_size,
             )
-            unique = candidates.groupby("url_norm").map_groups(
-                _pick_min_per_norm, batch_format="pandas"
-            )
-            survivors_ds = unique.map_batches(
-                _make_seen_filter(seen.handles()), batch_format="pyarrow"
-            )
-            survivors = _collect(survivors_ds)
+            # within-epoch dedup + anti-join fused into the seen shards:
+            # candidate batches stream (norm, min-key) offers straight to
+            # their shard actors — no groupby shuffle; drain commits the
+            # epoch atomically and returns the accepted frontier
+            candidates.map_batches(
+                _make_offer_stage(seen.handles()), batch_format="pyarrow"
+            ).count()
+            accepted = seen.drain("norm")  # sorted (norm, "%09d\x1furl")
+            survivors = _accepted_to_table(accepted)
+            _t = _tick("candidates+dedup+seen", _t)
 
             # --- documents -> cross-epoch dedup -> simulated download ---
             docs = _collect(fetched.map_batches(explode_documents,
@@ -364,6 +415,7 @@ def run_crawl(
                             "epoch", pa.array([epoch] * len(dl_out), pa.int32())
                         )
 
+            _t = _tick("documents+downloads", _t)
             ext_tbl = _collect(fetched) or FETCHED_SCHEMA.empty_table()
             ext_tbl = ext_tbl.append_column(
                 "epoch", pa.array([epoch] * ext_tbl.num_rows, pa.int32())
@@ -419,6 +471,7 @@ def run_crawl(
                     },
                 )
 
+            _t = _tick("collect+checkpoint", _t)
             frontier = next_frontier
             epoch += 1
     finally:
@@ -466,7 +519,9 @@ def _download_join(d_tbl: pa.Table, pages_path: str, cfg: CrawlConfig) -> pa.Tab
     keyed on fetch_key (no process holds the corpus)."""
     fks = [fetch_key(u) or "" for u in d_tbl["url"].to_pylist()]
     d_ds = rd.from_arrow(d_tbl.append_column("fetch_key", pa.array(fks, pa.string())))
-    pages_ds = rd.read_parquet(pages_path, columns=["url", "html"]).map_batches(
+    from ..sources.pages import read_pages
+
+    pages_ds = read_pages(pages_path, columns=["url", "html"]).map_batches(
         lambda t: pa.table({"fetch_key": t["url"],
                             "blen": pa.compute.binary_length(t["html"])}),
         batch_format="pyarrow",

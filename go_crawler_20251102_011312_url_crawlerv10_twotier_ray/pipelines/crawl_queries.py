@@ -41,7 +41,7 @@ def corpus_for(sf_dir: str) -> str:
 
 
 # path the driver's sf0.01 oracle SQL reads (stable by construction)
-SF001_PAGES = os.path.join(CORPUS_ROOT, "sf0.01", "pages.parquet")
+SF001_PAGES = os.path.join(CORPUS_ROOT, "sf0.01", "pages", "part-*.parquet")
 
 
 def crawl_extract_text(sf_dir: str) -> pd.DataFrame:
@@ -49,8 +49,9 @@ def crawl_extract_text(sf_dir: str) -> pd.DataFrame:
     map_batches → select). Output (url, text) must equal the pages table's
     oracle-minted text column byte-for-byte."""
     cdir = corpus_for(sf_dir)
-    ds = rd.read_parquet(os.path.join(cdir, "pages.parquet"),
-                         columns=["url", "html"])
+    from ..sources.pages import read_pages
+
+    ds = read_pages(cdir, columns=["url", "html"])
     out = ds.map_batches(
         RouteAndExtract(CrawlConfig()), batch_format="pyarrow", batch_size=64
     ).select_columns(["url", "text"])
@@ -67,8 +68,9 @@ def crawl_router_split(sf_dir: str) -> pd.DataFrame:
     fast/slow split (coordinator.go:102-112), SQL-checkable because the
     whole decision tree is re-expressed in the oracle SQL."""
     cdir = corpus_for(sf_dir)
-    ds = rd.read_parquet(os.path.join(cdir, "pages.parquet"),
-                         columns=["url", "html"])
+    from ..sources.pages import read_pages
+
+    ds = read_pages(cdir, columns=["url", "html"])
 
     import pyarrow.compute as pc
 
@@ -137,9 +139,10 @@ def crawl_link_stats(sf_dir: str) -> pd.DataFrame:
     slowpath.go:174-185) derived from data instead of atomics."""
     from ray.data.aggregate import Count, Sum
 
+    from ..sources.pages import read_pages
+
     cdir = corpus_for(sf_dir)
-    ds = rd.read_parquet(os.path.join(cdir, "pages.parquet"),
-                         columns=["url", "html"])
+    ds = read_pages(cdir, columns=["url", "html"])
     ext = ds.map_batches(
         RouteAndExtract(CrawlConfig()), batch_format="pyarrow", batch_size=64
     )

@@ -113,7 +113,7 @@ def dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
     planted near-duplicates."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     sigs = ds.map_batches(MinHashSignatures, batch_format="pyarrow",
-                          concurrency=2)
+                          batch_size=256, concurrency=(2, 8))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"]))

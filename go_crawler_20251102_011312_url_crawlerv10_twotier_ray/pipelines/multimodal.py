@@ -97,7 +97,9 @@ class DecodeAndFeaturize:
 def media_features(corpus_dir: str, concurrency: int = 2) -> pd.DataFrame:
     """Decode/featurize every payload in a corpus pages table. Actor pool +
     small batches (wide binary rows)."""
-    ds = rd.read_parquet(f"{corpus_dir}/pages.parquet", columns=["url", "html"])
+    from ..sources.pages import read_pages
+
+    ds = read_pages(corpus_dir, columns=["url", "html"])
     out = (
         ds.map_batches(
             DecodeAndFeaturize,

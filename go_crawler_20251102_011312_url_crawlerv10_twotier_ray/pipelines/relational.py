@@ -183,47 +183,39 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    bc = ray.put((cust_nation, nation_name))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
-    class AttachNation:
-        def __init__(self, ref):
-            self.cust_nation, self.nation_name = ray.get(ref)
+    # orders is small enough to broadcast as orderkey→nation lookup: the
+    # lineitem scan then needs NO shuffle at all — per-batch partial sums by
+    # nation, then a trivial 25-group final aggregate
+    odf = orders.to_pandas()
+    okey_to_nation = {
+        k: nation_name.get(cust_nation.get(c))
+        for k, c in zip(odf["o_orderkey"], odf["o_custkey"])
+    }
+    lut = ray.put(okey_to_nation)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            nk = [self.cust_nation.get(c) for c in t["o_custkey"].to_pylist()]
-            return pa.table(
-                {
-                    "o_orderkey": t["o_orderkey"],
-                    "n_name": pa.array(
-                        [self.nation_name.get(k) for k in nk], pa.string()
-                    ),
-                }
-            )
-
-    orders_n = orders.map_batches(
-        AttachNation, fn_constructor_args=(bc,), batch_format="pyarrow",
-        concurrency=2,
-    )
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def rev(t: pa.Table) -> pa.Table:
-        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = t["l_discount"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "l_orderkey": t["l_orderkey"],
-                "rev_c4": pa.array(np.rint(ext * (1 - disc) * 10_000).astype(np.int64)),
-            }
-        )
+    class PartialByNation:
+        def __init__(self, ref):
+            from ..stages.fetch import cached_broadcast
 
-    joined = line.map_batches(rev, batch_format="pyarrow").join(
-        orders_n, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
+            self.lut = cached_broadcast(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            rev = np.rint(ext * (1 - disc) * 10_000).astype(np.int64)
+            names = [self.lut.get(k) for k in t["l_orderkey"].to_pylist()]
+            df = pd.DataFrame({"n_name": names, "rev_c4": rev})
+            g = df.groupby("n_name", as_index=False)["rev_c4"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
     out = (
-        joined.groupby("n_name")
+        line.map_batches(PartialByNation(lut), batch_format="pyarrow")
+        .groupby("n_name")
         .aggregate(Sum("rev_c4", alias_name="revenue_c4"))
         .to_pandas()
         .sort_values(["revenue_c4", "n_name"], ascending=[False, True])

@@ -73,11 +73,12 @@ def build_fetched_table(
     for non-200 rows) into the stable FETCHED_SCHEMA."""
     n = len(statuses)
     fetch_idx = [i for i in range(n) if statuses[i] == 200]
+    urls = batch["url"].to_pylist()
     ext = None
     if fetch_idx:
         sub = pa.table(
             {
-                "url": pa.array([batch["url"][i].as_py() for i in fetch_idx]),
+                "url": pa.array([urls[i] for i in fetch_idx]),
                 "html": pa.array([bodies[i] for i in fetch_idx], pa.binary()),
             }
         )
@@ -92,15 +93,23 @@ def build_fetched_table(
     )
     cols["ok"] = pa.array([s == 200 for s in statuses], pa.bool_())
 
+    # scatter extraction rows back to full batch length with a null-masked
+    # take (C kernel) instead of per-row as_py loops
     back = {fi: j for j, fi in enumerate(fetch_idx)}
+    take_idx = pa.array(
+        [back.get(i) for i in range(n)], pa.int64()
+    )
+    import pyarrow.compute as pc
+
     for name in _EXT_COLS:
         typ = FETCHED_SCHEMA.field(name).type
         if ext is None:
             cols[name] = pa.nulls(n, typ)
         else:
-            src = ext[name]
-            cols[name] = pa.array(
-                [src[back[i]].as_py() if i in back else None for i in range(n)], typ
+            cols[name] = pc.take(
+                ext[name].combine_chunks() if isinstance(ext[name], pa.ChunkedArray)
+                else ext[name],
+                take_idx,
             )
     return pa.table({f.name: cols[f.name] for f in FETCHED_SCHEMA})
 
@@ -120,6 +129,26 @@ def cached_broadcast(ref):
     return _WORKER_CACHE[key]
 
 
+def cached_corpus_index(ref):
+    """Broadcast corpus = a pyarrow Table (url, html): ray.get is ZERO-COPY
+    for Arrow buffers (plasma shared memory), so worker processes share the
+    page bytes; only the url→row index dict lives in each process heap."""
+    key = ref.hex() + ":idx"
+    if key not in _WORKER_CACHE:
+        tbl = cached_broadcast(ref)
+        idx = {u: i for i, u in enumerate(tbl["url"].to_pylist())}
+        _WORKER_CACHE[key] = (idx, tbl["html"])
+    return _WORKER_CACHE[key]
+
+
+def corpus_lookup(ref, fk: str | None) -> bytes | None:
+    idx, html_col = cached_corpus_index(ref)
+    if fk is None:
+        return None
+    i = idx.get(fk)
+    return html_col[i].as_py() if i is not None else None
+
+
 class FetchAndExtract:
     """Broadcast-mode fused fetch+extract (stateless tasks + per-process
     broadcast cache; the seen-shard HANDLES travel in the closure, the
@@ -132,7 +161,6 @@ class FetchAndExtract:
         self.extractor = RouteAndExtract(cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        self.corpus: dict[str, bytes] = cached_broadcast(self.corpus_ref)
         urls = batch["url"].to_pylist()
         if not urls:
             return FETCHED_SCHEMA.empty_table()
@@ -145,8 +173,7 @@ class FetchAndExtract:
                 statuses.append(304)
                 bodies.append(None)
                 continue
-            fk = fetch_key(u)
-            body = self.corpus.get(fk) if fk is not None else None
+            body = corpus_lookup(self.corpus_ref, fetch_key(u))
             if body is None:
                 statuses.append(404)
                 bodies.append(None)

@@ -42,6 +42,7 @@ class SeenShard:
         self.bloom: dict[str, BloomFilter] = {
             k: BloomFilter(bloom_capacity) for k in KINDS
         }
+        self.epoch_buf: dict[str, dict[str, str]] = {}
 
     def check_and_add(self, kind: str, keys: list[str]) -> list[bool]:
         """For each key: True if newly added (was not seen), else False.
@@ -56,6 +57,37 @@ class SeenShard:
                 s.add(k)
                 bf.add(k)
                 out.append(True)
+        return out
+
+    def offer_min(self, kind: str, norms: list[str], keys: list[str]) -> int:
+        """Within-epoch candidate dedup fused into the shard: buffer the MIN
+        key per unseen norm (min is order-independent ⇒ deterministic no
+        matter how batches race). The buffered set becomes visible to the
+        seen set only at drain_epoch — all offers within an epoch observe
+        the pre-epoch state, exactly like the oracle's epoch-batch
+        semantics. Replaces a full groupby(url_norm) shuffle per epoch."""
+        s = self.exact[kind]
+        buf = self.epoch_buf.setdefault(kind, {})
+        n = 0
+        for norm, key in zip(norms, keys):
+            if norm in s:
+                continue
+            cur = buf.get(norm)
+            if cur is None or key < cur:
+                buf[norm] = key
+                n += 1
+        return n
+
+    def drain_epoch(self, kind: str) -> list[tuple[str, str]]:
+        """Commit the epoch buffer into the seen set; return accepted
+        (norm, min_key) pairs."""
+        buf = self.epoch_buf.pop(kind, {})
+        s = self.exact[kind]
+        bf = self.bloom[kind]
+        out = sorted(buf.items())
+        for norm, _ in out:
+            s.add(norm)
+            bf.add(norm)
         return out
 
     def contains(self, kind: str, keys: list[str]) -> list[bool]:
@@ -111,6 +143,14 @@ class ShardedSeen:
     def total(self, kind: str) -> int:
         return sum(ray.get([s.size.remote(kind) for s in self.shards]))
 
+    def drain(self, kind: str) -> list[tuple[str, str]]:
+        parts = ray.get([s.drain_epoch.remote(kind) for s in self.shards])
+        out: list[tuple[str, str]] = []
+        for p in parts:
+            out.extend(p)
+        out.sort()
+        return out
+
     def snapshots(self) -> list[dict]:
         return ray.get([s.snapshot.remote() for s in self.shards])
 
@@ -127,6 +167,22 @@ class ShardedSeen:
 
 def shard_of(key: str, n_shards: int) -> int:
     return stable_hash64(key) % n_shards
+
+
+def offer_min_batch(shard_handles: list, kind: str, norms, keys) -> int:
+    """Route (norm, key) offers to their shards (callable from map_batches
+    tasks). Returns the number of offers that were new-or-improved."""
+    n = len(shard_handles)
+    per_shard: dict[int, tuple[list[str], list[str]]] = {}
+    for norm, key in zip(norms, keys):
+        sl = per_shard.setdefault(shard_of(norm, n), ([], []))
+        sl[0].append(norm)
+        sl[1].append(key)
+    refs = [
+        shard_handles[sid].offer_min.remote(kind, ns, ks)
+        for sid, (ns, ks) in per_shard.items()
+    ]
+    return sum(ray.get(refs))
 
 
 def check_and_add_batch(shard_handles: list, kind: str, keys) -> np.ndarray:

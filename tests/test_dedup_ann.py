@@ -1,0 +1,133 @@
+"""Semantic tests for the dedup / ANN / text operators on PLANTED inputs
+(the testdata documents are all-distinct, so recall must be proven on a
+corpus with known duplicates)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """A documents+embeddings mini-warehouse with known exact dups,
+    near-dups, and embedding near-dups."""
+    d = tmp_path_factory.mktemp("planted")
+    rng = np.random.RandomState(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    texts = []
+    for i in range(40):
+        texts.append(" ".join(rng.choice(words, 60)))
+    # exact duplicates: 40,41 copy 0; 42 copies 1
+    texts += [texts[0], texts[0], texts[1]]
+    # near duplicates: 43 = doc 2 with one word changed; 44 = doc 3 with two
+    t = texts[2].split(); t[5] = "omega"; texts.append(" ".join(t))
+    t = texts[3].split(); t[0] = "omega"; t[30] = "psi"; texts.append(" ".join(t))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["src"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    # 30,31 are tiny perturbations of 0 and 5 → cosine ≈ 1
+    emb = np.vstack([base, base[0] + 0.001 * rng.standard_normal(16).astype(np.float32),
+                     base[5] + 0.001 * rng.standard_normal(16).astype(np.float32)])
+    et = pa.table(
+        {
+            "vec_id": pa.array(range(len(emb)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in emb],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * len(emb), pa.int32()),
+        }
+    )
+    pq.write_table(et, os.path.join(d, "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_exact_finds_planted(planted_dir):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        dedup_exact,
+    )
+
+    out = dedup_exact(planted_dir)
+    assert len(out) == 45 - 3  # 3 exact copies collapse
+    n = dict(zip(out["doc_id"], out["n_dupes"]))
+    assert n[0] == 3 and n[1] == 2 and n[2] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_finds_near_dups(planted_dir):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    out = dedup_minhash_lsh(planted_dir)
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 40) in pairs and (0, 41) in pairs and (1, 42) in pairs  # exact
+    assert (2, 43) in pairs and (3, 44) in pairs  # near-dups
+    assert all(j >= 50 for j in out["jaccard_pct"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_finds_exact_dups(planted_dir):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        dedup_simhash,
+    )
+
+    out = dedup_simhash(planted_dir)
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 40) in pairs and (0, 41) in pairs and (40, 41) in pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_cosine_finds_planted(planted_dir):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    out = dedup_embedding_cosine(planted_dir)
+    pairs = set(zip(out["vec_a"], out["vec_b"]))
+    assert (0, 30) in pairs and (5, 31) in pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_bruteforce_nearest_is_perturbed_twin(planted_dir):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.ann import (
+        ann_bruteforce_topk,
+    )
+
+    out = ann_bruteforce_topk(planted_dir)
+    top1 = out[(out["query_id"] == 0) & (out["rank"] == 1)]["vec_id"].iloc[0]
+    assert top1 == 30  # the planted twin
+    top1_q5 = out[(out["query_id"] == 5) & (out["rank"] == 1)]["vec_id"].iloc[0]
+    assert top1_q5 == 31
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_lsh_recall_vs_bruteforce(planted_dir):
+    """LSH variant: rank-1 recall vs exact brute force must be decent on
+    the planted twins (same-bucket by construction for near-identical
+    vectors)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.ann import (
+        ann_bruteforce_topk,
+        ann_lsh_topk,
+    )
+
+    bf = ann_bruteforce_topk(planted_dir)
+    lsh = ann_lsh_topk(planted_dir)
+    bf1 = dict(zip(bf[bf["rank"] == 1]["query_id"], bf[bf["rank"] == 1]["vec_id"]))
+    lsh1 = dict(zip(lsh[lsh["rank"] == 1]["query_id"], lsh[lsh["rank"] == 1]["vec_id"]))
+    # twins collide in every hyperplane bucket: must be found
+    assert lsh1.get(0) == bf1[0] == 30
+    assert lsh1.get(5) == bf1[5] == 31

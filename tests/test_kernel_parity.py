@@ -101,7 +101,7 @@ def test_router_parity_grid():
 
 
 def test_slowpath_corpus_parity(smoke_corpus_dir):
-    t = pq.read_table(smoke_corpus_dir + "/pages.parquet", columns=["url", "html"])
+    t = pq.read_table(smoke_corpus_dir + "/pages", columns=["url", "html"])
     cfg = CrawlConfig()
     n_slow = 0
     for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
@@ -121,7 +121,7 @@ def test_slowpath_corpus_parity(smoke_corpus_dir):
 def test_extract_stage_matches_minted_text(smoke_corpus_dir):
     """The M1 gate, kernel-level: RouteAndExtract output text == pages.text
     byte-for-byte for every corpus page."""
-    t = pq.read_table(smoke_corpus_dir + "/pages.parquet")
+    t = pq.read_table(smoke_corpus_dir + "/pages")
     out = RouteAndExtract(CrawlConfig())(t.select(["url", "html"]))
     assert out["text"].to_pylist() == t["text"].to_pylist()
     paths = set(out["path"].to_pylist())
