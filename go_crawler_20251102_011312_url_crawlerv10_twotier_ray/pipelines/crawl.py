@@ -9,8 +9,10 @@ deterministic sequence of bounded Ray Data pipelines, one per epoch
     scheduled ──map_batches(FetchAndExtract)──▶ fetched   [actor-pool state:
         raw-revisit shards; corpus via broadcast ref or Dataset.join]
     fetched ──map_batches(CandidateLinks)──▶ candidates   [partial dedup]
-    candidates ──groupby(url_norm).map_groups(min)──▶ unique candidates
-    unique ──map_batches(seen-shard anti-join)──▶ survivors (next frontier)
+    candidates ──map_batches(offer_min → seen shards)──▶ shard epoch buffers
+    seen.drain("norm") ──▶ survivors (next frontier)  [dedup + anti-join
+        fused into the shard actors; min-key is order-independent ⇒
+        deterministic without any groupby shuffle]
     fetched ──map_batches(explode_documents)──▶ docs ──dedup──▶ downloads
     everything ──▶ per-epoch checkpoint parquet + _SUCCESS
 
@@ -44,14 +46,14 @@ from ..config import CrawlConfig
 from ..functions.urlnorm import fetch_key, host_of, normalize_url
 from ..oracle.crawl_sim import validate_seed
 from ..oracle.reference import extract_filename
-from ..stages.candidates import CandidateLinks, explode_documents
+from ..stages.candidates import explode_documents
 from ..stages.fetch import (
     FETCHED_SCHEMA,
     ExtractJoined,
     FetchAndExtract,
-    RawRevisitCheck,
+    add_fetch_key,
 )
-from ..stages.seen import ShardedSeen, check_and_add_batch
+from ..stages.seen import ShardedSeen
 from ..state import checkpoint as ckpt
 
 FRONTIER_COLS = ["url", "url_norm", "host", "depth", "priority"]
@@ -123,6 +125,60 @@ def _schedule_pandas(
     return scheduled, deferred
 
 
+def _schedule_distributed(
+    frontier: pd.DataFrame, budgets: dict[str, int], default_budget: int
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Distributed twin of _schedule_pandas for huge frontiers: per-host
+    budget as groupby(host).map_groups (one group per host — bounded fan-in;
+    hot hosts are a single group each, which is exactly the politeness
+    constraint), then a distributed sort for the deterministic global order.
+    Semantics identical to the pandas path (equivalence-tested)."""
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["priority", "url_norm", "url"],
+            ascending=[False, True, True], kind="mergesort",
+        )
+        b = budgets.get(g["host"].iloc[0], default_budget)
+        g = g.copy()
+        g["sched"] = True if b <= 0 else (np.arange(len(g)) < b)
+        return g
+
+    ds = rd.from_pandas(frontier).repartition(
+        max(2, min(64, len(frontier) // 50_000 + 1))
+    )
+    marked = ds.groupby("host").map_groups(mark, batch_format="pandas")
+
+    def keep(flag: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pa.compute.equal(t["sched"], flag)).drop_columns(
+                ["sched"]
+            )
+
+        return fn
+
+    sched_ds = marked.map_batches(keep(True), batch_format="pyarrow").sort(
+        ["priority", "host", "url_norm", "url"],
+        descending=[True, False, False, False],
+    )
+    scheduled_tbl = _collect(sched_ds)
+    deferred_tbl = _collect(marked.map_batches(keep(False), batch_format="pyarrow"))
+    scheduled = (
+        scheduled_tbl.to_pandas()[FRONTIER_COLS].reset_index(drop=True)
+        if scheduled_tbl is not None
+        else pd.DataFrame(columns=FRONTIER_COLS)
+    )
+    if deferred_tbl is not None:
+        deferred = deferred_tbl.to_pandas()[FRONTIER_COLS].sort_values(
+            ["priority", "host", "url_norm", "url"],
+            ascending=[False, True, True, True], kind="mergesort",
+        ).reset_index(drop=True)
+        deferred["priority"] = 1
+    else:
+        deferred = pd.DataFrame(columns=FRONTIER_COLS)
+    return scheduled, deferred
+
+
 # Epoch-wide candidate dedup key: "%09d\x1f%s" % (depth, url) — zero-padded
 # depth makes lexicographic min == min((depth, url)). The dedup itself is
 # fused into the seen shards (SeenShard.offer_min/drain_epoch): min is
@@ -130,21 +186,21 @@ def _schedule_pandas(
 # groupby shuffle is needed for the frontier.
 
 
-def _make_offer_stage(handles):
-    from ..stages.seen import offer_min_batch
-
-    def offer_stage(batch: pa.Table) -> pa.Table:
-        if batch.num_rows:
-            norms = batch["url_norm"].to_pylist()
-            keys = [
-                "%09d\x1f%s" % (d, u)
-                for d, u in zip(batch["depth"].to_pylist(),
-                                batch["url"].to_pylist())
-            ]
-            offer_min_batch(handles, "norm", norms, keys)
-        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
-
-    return offer_stage
+def _mark_revisits(
+    scheduled: pd.DataFrame, seed_raw_set: frozenset,
+    dispatched_seed_raws: set,
+) -> pd.DataFrame:
+    """colly's raw-URL revisit filter (T2) without distributed state: a
+    url_norm enters the frontier exactly once globally and url_norm is a
+    function of the raw URL, so a raw URL can repeat only if it is a SEED
+    (fetched at epoch 0 outside the seen set, then re-discovered). revisit =
+    seed already dispatched in a prior epoch, or a duplicate within this
+    epoch's schedule (lower rank wins — matches the oracle's sequential
+    fetched_raw semantics)."""
+    scheduled = scheduled.copy()
+    dup = scheduled["url"].duplicated(keep="first")
+    scheduled["revisit"] = dup | scheduled["url"].isin(dispatched_seed_raws)
+    return scheduled
 
 
 def _accepted_to_table(accepted: list[tuple[str, str]]) -> pa.Table | None:
@@ -251,7 +307,14 @@ def run_crawl(
         t = pq.read_table(pages_path, columns=["url", "html"]).combine_chunks()
         corpus_ref = ray.put(t)
 
-    seen = ShardedSeen(cfg.seen_shards)
+    n_shards = cfg.seen_shards
+    if n_shards <= 0:
+        n_shards = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    seen = ShardedSeen(n_shards)
+    seed_raw_set = frozenset(
+        v for v in (validate_seed(x) for x in seeds) if v is not None
+    )
+    dispatched_seed_raws: set[str] = set()
     res = CrawlRunResult()
     acc: dict[str, list[pa.Table]] = {
         "extracted": [], "order": [], "downloads": [], "seen": []
@@ -270,13 +333,14 @@ def run_crawl(
                 acc["downloads"].append(dl)
                 sd = ckpt.read_epoch_table(cfg.checkpoint_dir, k, "seen_delta")
                 acc["seen"].append(sd)
-                # rebuild shard state from deltas
+                # rebuild shard state from deltas (raw-revisit state is
+                # the driver-side dispatched-seed set — see _mark_revisits)
+                dispatched_seed_raws.update(
+                    set(acc["order"][-1]["url"].to_pylist()) & seed_raw_set
+                )
                 seen_norms = sd["url_norm"].to_pylist()
-                raws = ext.filter(
-                    pa.compute.not_equal(ext["status"], 304)
-                )["url"].to_pylist()
                 docs = dl["url"].to_pylist()
-                for kind, keys in (("norm", seen_norms), ("raw", raws), ("doc", docs)):
+                for kind, keys in (("norm", seen_norms), ("doc", docs)):
                     n = seen.n_shards
                     from ..stages.seen import shard_of
                     per: dict[int, list[str]] = {}
@@ -308,7 +372,12 @@ def run_crawl(
             if max_epochs is not None and epoch - start_epoch >= max_epochs:
                 break
             _t = _time.perf_counter()
-            scheduled, deferred = _schedule_pandas(
+            _sched_fn = (
+                _schedule_distributed
+                if len(frontier) > cfg.frontier_distributed_threshold
+                else _schedule_pandas
+            )
+            scheduled, deferred = _sched_fn(
                 frontier, host_budgets, cfg.default_host_budget
             )
             order_tbl = pa.table(
@@ -322,8 +391,15 @@ def run_crawl(
                 }
             )
 
+            # raw-revisit (T2) is a pure driver-side computation against
+            # the seed set — see stages/fetch.py docstring for the proof
+            scheduled = _mark_revisits(
+                scheduled, seed_raw_set, dispatched_seed_raws
+            )
+            dispatched_seed_raws.update(set(scheduled["url"]) & seed_raw_set)
+
             sched_tbl = pa.Table.from_pandas(
-                scheduled[FRONTIER_COLS], preserve_index=False
+                scheduled[FRONTIER_COLS + ["revisit"]], preserve_index=False
             )
             n_blocks = max(1, min(32, (len(scheduled) + cfg.extract_batch_size - 1)
                                   // cfg.extract_batch_size))
@@ -331,18 +407,18 @@ def run_crawl(
 
             if mode == "broadcast":
                 fetched = sched_ds.map_batches(
-                    FetchAndExtract(cfg, corpus_ref, seen.handles()),
+                    FetchAndExtract(cfg, corpus_ref, seen.handles(),
+                                    robots_disallow),
                     batch_format="pyarrow",
                     batch_size=cfg.extract_batch_size,
                 )
             else:
-                marked = sched_ds.map_batches(
-                    RawRevisitCheck(seen.handles()),
-                    batch_format="pyarrow",
-                    batch_size=cfg.extract_batch_size,
-                )
                 from ..sources.pages import read_pages
 
+                marked = sched_ds.map_batches(
+                    add_fetch_key, batch_format="pyarrow",
+                    batch_size=cfg.extract_batch_size,
+                )
                 pages_ds = read_pages(pages_path, columns=["url", "html"]).map_batches(
                     lambda t: t.rename_columns(["fetch_key", "html"]),
                     batch_format="pyarrow",
@@ -354,30 +430,19 @@ def run_crawl(
                     on=("fetch_key",),
                 )
                 fetched = joined.map_batches(
-                    ExtractJoined(cfg),
+                    ExtractJoined(cfg, seen.handles(), robots_disallow),
                     batch_format="pyarrow",
                     batch_size=cfg.extract_batch_size,
                 )
             _t = _tick("schedule", _t)
+            # materialize barriers the epoch: every fetch task has extracted
+            # AND pushed its candidate offers before the drain below
             fetched = fetched.materialize()
-            _t = _tick("fetch+extract", _t)
+            _t = _tick("fetch+extract+offer", _t)
 
-            # --- candidate links -> epoch dedup -> seen anti-join ---
-            candidates = fetched.map_batches(
-                CandidateLinks(cfg, robots_disallow),
-                batch_format="pyarrow",
-                batch_size=cfg.extract_batch_size,
-            )
-            # within-epoch dedup + anti-join fused into the seen shards:
-            # candidate batches stream (norm, min-key) offers straight to
-            # their shard actors — no groupby shuffle; drain commits the
-            # epoch atomically and returns the accepted frontier
-            candidates.map_batches(
-                _make_offer_stage(seen.handles()), batch_format="pyarrow"
-            ).count()
             accepted = seen.drain("norm")  # sorted (norm, "%09d\x1furl")
             survivors = _accepted_to_table(accepted)
-            _t = _tick("candidates+dedup+seen", _t)
+            _t = _tick("drain", _t)
 
             # --- documents -> cross-epoch dedup -> simulated download ---
             docs = _collect(fetched.map_batches(explode_documents,

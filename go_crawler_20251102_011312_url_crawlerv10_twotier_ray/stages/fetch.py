@@ -19,9 +19,19 @@ Two corpus access modes (cfg.fetch_mode):
   corpus.
 
 Raw-URL revisit filtering (colly's internal storage, T2 —
-crawler_twotier.go:200) happens here through the seen-shard actors
-(kind="raw"): an already-requested raw URL is logged with status 304 and not
-re-extracted. Statuses: 200 fetched, 404 not in corpus, 304 raw-revisit.
+crawler_twotier.go:200) arrives as a precomputed ``revisit`` column: a
+url_norm is accepted into the frontier exactly once globally and url_norm is
+a pure function of the raw URL, so two scheduled rows can only share a raw
+URL when one of them is a SEED — which makes the revisit decision a
+driver-side check against the (tiny) seed set, with no distributed state and
+no blocking actor round-trips in the fetch hot path (see
+pipelines/crawl.py::_mark_revisits). Statuses: 200 fetched, 404 not in
+corpus, 304 raw-revisit.
+
+Candidate-link OFFERING is fused into this stage too: each task explodes the
+links it just extracted (CandidateLinks partial dedup) and streams
+(norm, min-key) offers to the seen shards — a fire-and-forget push that
+replaces a whole per-epoch candidates pipeline.
 """
 
 from __future__ import annotations
@@ -31,8 +41,9 @@ import ray
 
 from ..config import CrawlConfig
 from ..functions.urlnorm import fetch_key
+from .candidates import CandidateLinks
 from .extract import DOC_STRUCT, RouteAndExtract
-from .seen import check_and_add_batch
+from .seen import offer_min_batch
 
 PASSTHROUGH = ("url", "depth", "priority", "host", "url_norm")
 
@@ -149,27 +160,42 @@ def corpus_lookup(ref, fk: str | None) -> bytes | None:
     return html_col[i].as_py() if i is not None else None
 
 
-class FetchAndExtract:
-    """Broadcast-mode fused fetch+extract (stateless tasks + per-process
-    broadcast cache; the seen-shard HANDLES travel in the closure, the
-    corpus index only as an ObjectRef)."""
+def offer_candidates(out_tbl: pa.Table, cand_kernel: CandidateLinks,
+                     seen_handles: list) -> None:
+    """Explode + partial-dedup the links of a fetched batch and push
+    (norm, min (depth,url) key) offers to the seen shards."""
+    cand = cand_kernel(out_tbl)
+    if cand.num_rows:
+        keys = [
+            "%09d\x1f%s" % (d, u)
+            for d, u in zip(cand["depth"].to_pylist(), cand["url"].to_pylist())
+        ]
+        offer_min_batch(seen_handles, "norm", cand["url_norm"].to_pylist(), keys)
 
-    def __init__(self, cfg: CrawlConfig, corpus_ref, seen_handles: list):
+
+class FetchAndExtract:
+    """Broadcast-mode fused fetch+extract+offer (stateless tasks +
+    per-process broadcast cache; the seen-shard HANDLES travel in the
+    closure, the corpus index only as an ObjectRef)."""
+
+    def __init__(self, cfg: CrawlConfig, corpus_ref, seen_handles: list,
+                 robots_disallow: dict | None = None):
         self.cfg = cfg
         self.corpus_ref = corpus_ref
         self.seen_handles = seen_handles
         self.extractor = RouteAndExtract(cfg)
+        self.cand_kernel = CandidateLinks(cfg, robots_disallow)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         if not urls:
             return FETCHED_SCHEMA.empty_table()
-        new_mask = check_and_add_batch(self.seen_handles, "raw", urls)
+        revisit = batch["revisit"].to_pylist()
         cap = self.cfg.max_body_bytes
         statuses: list[int] = []
         bodies: list[bytes | None] = []
-        for u, is_new in zip(urls, new_mask):
-            if not is_new:
+        for u, rv in zip(urls, revisit):
+            if rv:
                 statuses.append(304)
                 bodies.append(None)
                 continue
@@ -180,43 +206,38 @@ class FetchAndExtract:
             else:
                 statuses.append(200)
                 bodies.append(body[:cap])
-        return build_fetched_table(batch, statuses, bodies, self.extractor)
+        out = build_fetched_table(batch, statuses, bodies, self.extractor)
+        offer_candidates(out, self.cand_kernel, self.seen_handles)
+        return out
 
 
-class RawRevisitCheck:
-    """Join-mode stage 1: mark raw-revisits (status 304) and add the fetch
-    key column; runs before the corpus join."""
-
-    def __init__(self, seen_handles: list):
-        self.seen_handles = seen_handles
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        new_mask = check_and_add_batch(self.seen_handles, "raw", urls)
-        fks = [fetch_key(u) or "" for u in urls]
-        return batch.append_column(
-            "fetch_key", pa.array(fks, pa.string())
-        ).append_column("raw_new", pa.array(new_mask.tolist(), pa.bool_()))
+def add_fetch_key(batch: pa.Table) -> pa.Table:
+    """Join-mode stage 1: attach the corpus join key."""
+    fks = [fetch_key(u) or "" for u in batch["url"].to_pylist()]
+    return batch.append_column("fetch_key", pa.array(fks, pa.string()))
 
 
 class ExtractJoined:
     """Join-mode stage 2: after the left-outer corpus join, turn the
-    (nullable) html column into statuses and extract."""
+    (nullable) html column into statuses, extract, and offer candidates."""
 
-    def __init__(self, cfg: CrawlConfig):
+    def __init__(self, cfg: CrawlConfig, seen_handles: list,
+                 robots_disallow: dict | None = None):
         self.cfg = cfg
         self.extractor = RouteAndExtract(cfg)
+        self.seen_handles = seen_handles
+        self.cand_kernel = CandidateLinks(cfg, robots_disallow)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return FETCHED_SCHEMA.empty_table()
-        raw_new = batch["raw_new"].to_pylist()
+        revisit = batch["revisit"].to_pylist()
         htmls = batch["html"].to_pylist()
         cap = self.cfg.max_body_bytes
         statuses, bodies = [], []
         for i in range(n):
-            if not raw_new[i]:
+            if revisit[i]:
                 statuses.append(304)
                 bodies.append(None)
             elif htmls[i] is None:
@@ -225,4 +246,6 @@ class ExtractJoined:
             else:
                 statuses.append(200)
                 bodies.append(htmls[i][:cap])
-        return build_fetched_table(batch, statuses, bodies, self.extractor)
+        out = build_fetched_table(batch, statuses, bodies, self.extractor)
+        offer_candidates(out, self.cand_kernel, self.seen_handles)
+        return out
