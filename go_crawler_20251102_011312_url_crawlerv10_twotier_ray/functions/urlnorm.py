@@ -21,14 +21,15 @@ Reference semantics reproduced here:
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urlsplit
 
-_CTRL = {chr(c) for c in range(0x20)} | {chr(0x7F)}
+_CTRL_RE = re.compile(r"[\x00-\x1f\x7f]")
 
 
 def has_ctrl(s: str) -> bool:
     """True if s contains chars Go's url.Parse rejects (control chars)."""
-    return any(c in _CTRL for c in s)
+    return _CTRL_RE.search(s) is not None
 
 
 def split_url(raw: str):
@@ -67,6 +68,25 @@ def host_of(raw: str) -> str | None:
     if sp is None or sp.netloc == "":
         return None
     return sp.netloc.lower()
+
+
+def norm_and_host(raw: str) -> tuple[str, str] | None:
+    """(normalize_url(raw), host_of(raw)) with a single parse — the hot-path
+    variant for bulk frontier processing."""
+    sp = split_url(raw)
+    if sp is None or sp.netloc == "":
+        return None
+    return (
+        f"{sp.scheme}://{sp.netloc}{sp.path}".lower(),
+        sp.netloc.lower(),
+    )
+
+
+def host_from_norm(norm: str) -> str:
+    """Host of an ALREADY-normalized URL (lower scheme://netloc/path...):
+    pure string slicing, no re-parse."""
+    rest = norm.split("://", 1)[1] if "://" in norm else norm
+    return rest.split("/", 1)[0]
 
 
 def fetch_key(raw: str) -> str | None:

@@ -30,10 +30,14 @@ Epoch model (shared spec):
    become the next frontier (priority 0).
 5. Documents detected on the slow path are deduplicated against the global
    downloaded∪pending set on their RAW url (downloader.go:280-293) and
-   "downloaded": success iff the fetch key exists in the corpus, else
-   max_retries failed attempts (downloader.go:153-179).
+   downloaded: success iff the fetch key exists in the corpus. A failed
+   attempt with attempt < max_retries re-queues the task for the NEXT epoch
+   with priority (the reference's retry lane jumps the queue,
+   downloader.go:159-175); retry tasks are processed before new tasks, each
+   group in url order. After max_retries failures the task is dropped.
 
-Termination: empty frontier (the depth gate bounds it).
+Termination: empty frontier AND no pending retries (the reference's main()
+likewise waits for the download manager to drain, main.go:112-120).
 """
 
 from __future__ import annotations
@@ -64,7 +68,8 @@ class OracleCrawlResult:
     order: list[dict] = field(default_factory=list)
     # fetch log rows: dict(url, epoch, depth, status, bytes, ok)
     fetch_log: list[dict] = field(default_factory=list)
-    # download log rows: dict(url, epoch, depth, ok, retries, bytes, filename)
+    # download log rows, one per ATTEMPT:
+    # dict(url, epoch, depth, attempt, ok, bytes, filename)
     downloads: list[dict] = field(default_factory=list)
     n_epochs: int = 0
 
@@ -90,8 +95,10 @@ def crawl(
         if v is not None:
             frontier.append((0, v, 0))
 
+    pending_retry: list[tuple[str, int, int]] = []  # (url, depth, attempt)
+
     epoch = 0
-    while frontier:
+    while frontier or pending_retry:
         def sort_key(row):
             prio, raw, depth = row
             return (-prio, host_of(raw) or "", normalize_url(raw) or "", raw)
@@ -185,17 +192,24 @@ def crawl(
             res.seen[norm] = (depth, raw)
             new_frontier.append((0, raw, depth))
 
-        # downloads (simulated) — deterministic order by url
-        for doc_url, depth in sorted(epoch_docs):
+        # downloads (simulated): retry lane first (priority), then new
+        # tasks; each group in url order (T8, downloader.go:122-145)
+        work = sorted(pending_retry) + [
+            (u, d, 0) for u, d in sorted(epoch_docs)
+        ]
+        pending_retry = []
+        for doc_url, depth, attempt in work:
             fk = fetch_key(doc_url)
             body = corpus.get(fk) if fk is not None else None
             ok = body is not None
             res.downloads.append(
-                {"url": doc_url, "epoch": epoch, "depth": depth, "ok": ok,
-                 "retries": 0 if ok else cfg.max_retries,
+                {"url": doc_url, "epoch": epoch, "depth": depth,
+                 "attempt": attempt, "ok": ok,
                  "bytes": len(body) if ok else 0,
                  "filename": extract_filename(doc_url)}
             )
+            if not ok and attempt < cfg.max_retries:
+                pending_retry.append((doc_url, depth, attempt + 1))
 
         frontier = deferred + new_frontier
         epoch += 1

@@ -5,14 +5,16 @@ Re-expresses the reference's unbounded async colly loop
 deterministic sequence of bounded Ray Data pipelines, one per epoch
 (SURVEY.md §2.8): the driver loop is the "stream", each epoch is
 
-    frontier ──(sort + per-host politeness budget)──▶ scheduled | deferred
-    scheduled ──map_batches(FetchAndExtract)──▶ fetched   [actor-pool state:
-        raw-revisit shards; corpus via broadcast ref or Dataset.join]
-    fetched ──map_batches(CandidateLinks)──▶ candidates   [partial dedup]
-    candidates ──map_batches(offer_min → seen shards)──▶ shard epoch buffers
-    seen.drain("norm") ──▶ survivors (next frontier)  [dedup + anti-join
-        fused into the shard actors; min-key is order-independent ⇒
-        deterministic without any groupby shuffle]
+    frontier ──(sort + per-host politeness budget + seed-set revisit
+        marking, pandas below / Dataset ops above a size threshold)──▶
+        scheduled | deferred
+    scheduled ──map_batches(FetchAndExtract)──▶ fetched
+        [one fused stage: corpus lookup (zero-copy broadcast Arrow index or
+         Dataset.join), two-tier route+extract, candidate explosion with
+         partial dedup, and (norm, min-key) offers streamed to the sharded
+         seen actors — min is order-independent ⇒ deterministic]
+    seen.drain("norm") ──▶ survivors (next frontier)   [within-epoch dedup +
+        cross-epoch anti-join commit, atomic per shard, no groupby shuffle]
     fetched ──map_batches(explode_documents)──▶ docs ──dedup──▶ downloads
     everything ──▶ per-epoch checkpoint parquet + _SUCCESS
 
@@ -89,15 +91,22 @@ def load_politeness(corpus_dir: str):
 
 
 def _seed_frontier(seeds: list[str]) -> pd.DataFrame:
+    """Seed validation (main.go:58-66 semantics — scheme defaults to https,
+    host required) with ONE parse per seed (bulk-frontier hot path; matches
+    oracle.crawl_sim.validate_seed + normalize_url + host_of)."""
+    from ..functions.urlnorm import norm_and_host
+
     rows = []
     seen_raw = set()
     for s in seeds:
-        v = validate_seed(s)
-        if v is None or v in seen_raw:
+        if "://" not in s:
+            s = "https://" + s
+        nh = norm_and_host(s)
+        if nh is None or s in seen_raw:
             continue
-        seen_raw.add(v)
+        seen_raw.add(s)
         rows.append(
-            {"url": v, "url_norm": normalize_url(v), "host": host_of(v) or "",
+            {"url": s, "url_norm": nh[0], "host": nh[1],
              "depth": 0, "priority": 0}
         )
     return pd.DataFrame(rows, columns=FRONTIER_COLS)
@@ -204,28 +213,37 @@ def _mark_revisits(
 
 
 def _accepted_to_table(accepted: list[tuple[str, str]]) -> pa.Table | None:
+    """Vectorized: the accepted list is (norm, "%09d\x1furl") pairs already
+    sorted by norm; split key and derive host from the normalized form with
+    pandas C string kernels (no per-row URL re-parse)."""
     if not accepted:
         return None
-    norms, urls, depths, hosts = [], [], [], []
-    for norm, key in accepted:
-        d, u = key.split("\x1f", 1)
-        norms.append(norm)
-        depths.append(int(d))
-        urls.append(u)
-        hosts.append(host_of(u) or "")
+    df = pd.DataFrame(accepted, columns=["url_norm", "key"])
+    parts = df["key"].str.split("\x1f", n=1, expand=True)
+    depth = parts[0].astype("int32")
+    url = parts[1]
+    host = (
+        df["url_norm"].str.split("://", n=1).str[-1].str.split("/", n=1).str[0]
+    )
     return pa.table(
         {
-            "url": pa.array(urls, pa.string()),
-            "url_norm": pa.array(norms, pa.string()),
-            "host": pa.array(hosts, pa.string()),
-            "depth": pa.array(depths, pa.int32()),
+            "url": pa.array(url, pa.string()),
+            "url_norm": pa.array(df["url_norm"], pa.string()),
+            "host": pa.array(host, pa.string()),
+            "depth": pa.array(depth, pa.int32()),
         }
     )
 
 
 def _collect(ds: rd.Dataset) -> pa.Table:
-    tables = [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-              for t in ray.get(ds.to_arrow_refs())]
+    def to_table(t):
+        if isinstance(t, pa.Table):
+            return t
+        if isinstance(t, pd.DataFrame):  # pandas blocks (e.g. map_groups)
+            return pa.Table.from_pandas(t, preserve_index=False)
+        return pa.Table.from_batches([t])
+
+    tables = [to_table(t) for t in ray.get(ds.to_arrow_refs())]
     tables = [t for t in tables if t.num_rows]
     if not tables:
         return None
@@ -254,10 +272,8 @@ class DownloadSim:
             {
                 "url": batch["url"],
                 "depth": batch["depth"],
+                "attempt": batch["attempt"],
                 "ok": pa.array(oks, pa.bool_()),
-                "retries": pa.array(
-                    [0 if ok else self.cfg.max_retries for ok in oks], pa.int32()
-                ),
                 "bytes": pa.array(sizes, pa.int64()),
                 "filename": pa.array([extract_filename(u) for u in urls], pa.string()),
             }
@@ -273,10 +289,18 @@ def run_crawl(
     use_politeness_table: bool = False,
     max_epochs: int | None = None,
     resume: bool = False,
+    collect: bool = True,
+    corpus_ref=None,
 ) -> CrawlRunResult:
     """Run the full crawl over a corpus directory (pages/seeds/politeness
     parquet as written by corpus.write_corpus). Ray must already be
-    initialised by the caller."""
+    initialised by the caller.
+
+    ``collect=False`` keeps page-scale outputs distributed (extracted rows
+    are written per-epoch via ``Dataset.write_parquet`` when a checkpoint
+    dir is set, or just counted) — the 100 TB mode; the driver only ever
+    holds frontier rows and counters. ``corpus_ref`` lets callers reuse an
+    already-broadcast corpus table (e.g. across bench runs)."""
     import pyarrow.parquet as pq
 
     cfg = cfg or CrawlConfig()
@@ -300,8 +324,7 @@ def run_crawl(
     if mode == "auto":
         mode = "broadcast" if n_corpus_rows <= cfg.broadcast_row_limit else "join"
 
-    corpus_ref = None
-    if mode == "broadcast":
+    if mode == "broadcast" and corpus_ref is None:
         # broadcast as an Arrow table: zero-copy page bytes in plasma,
         # shared by every worker process (stages/fetch.cached_corpus_index)
         t = pq.read_table(pages_path, columns=["url", "html"]).combine_chunks()
@@ -311,10 +334,10 @@ def run_crawl(
     if n_shards <= 0:
         n_shards = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
     seen = ShardedSeen(n_shards)
-    seed_raw_set = frozenset(
-        v for v in (validate_seed(x) for x in seeds) if v is not None
-    )
     dispatched_seed_raws: set[str] = set()
+    # T8 retry lane (downloader.go:153-179): failed download tasks re-queue
+    # for the next epoch with priority, up to cfg.max_retries attempts
+    pending_retry: list[tuple[str, int, int]] = []  # (url, depth, attempt)
     res = CrawlRunResult()
     acc: dict[str, list[pa.Table]] = {
         "extracted": [], "order": [], "downloads": [], "seen": []
@@ -322,12 +345,16 @@ def run_crawl(
 
     start_epoch = 0
     frontier = _seed_frontier(seeds)
+    seed_raw_set = frozenset(frontier["url"]) if len(frontier) else frozenset()
     if resume and cfg.checkpoint_dir:
         done = ckpt.complete_epochs(cfg.checkpoint_dir)
         if done:
             for k in done:
-                ext = ckpt.read_epoch_table(cfg.checkpoint_dir, k, "extracted")
-                acc["extracted"].append(ext)
+                try:
+                    ext = ckpt.read_epoch_table(cfg.checkpoint_dir, k, "extracted")
+                    acc["extracted"].append(ext)
+                except FileNotFoundError:
+                    pass  # collect=False runs sink extracted via write_parquet
                 acc["order"].append(ckpt.read_epoch_table(cfg.checkpoint_dir, k, "order"))
                 dl = ckpt.read_epoch_table(cfg.checkpoint_dir, k, "downloads")
                 acc["downloads"].append(dl)
@@ -354,6 +381,18 @@ def run_crawl(
             frontier = ckpt.read_epoch_table(
                 cfg.checkpoint_dir, done[-1], "frontier_next"
             ).to_pandas()
+            try:
+                rt = ckpt.read_epoch_table(
+                    cfg.checkpoint_dir, done[-1], "retries_next"
+                )
+                pending_retry = [
+                    (u, int(d), int(a))
+                    for u, d, a in zip(rt["url"].to_pylist(),
+                                       rt["depth"].to_pylist(),
+                                       rt["attempt"].to_pylist())
+                ]
+            except FileNotFoundError:
+                pending_retry = []
 
     import sys as _sys
     import time as _time
@@ -368,7 +407,7 @@ def run_crawl(
 
     epoch = start_epoch
     try:
-        while len(frontier) > 0:
+        while len(frontier) > 0 or pending_retry:
             if max_epochs is not None and epoch - start_epoch >= max_epochs:
                 break
             _t = _time.perf_counter()
@@ -405,7 +444,10 @@ def run_crawl(
                                   // cfg.extract_batch_size))
             sched_ds = rd.from_arrow(sched_tbl).repartition(n_blocks)
 
-            if mode == "broadcast":
+            if len(scheduled) == 0:
+                # retry-drain epoch: only pending download retries remain
+                fetched = None
+            elif mode == "broadcast":
                 fetched = sched_ds.map_batches(
                     FetchAndExtract(cfg, corpus_ref, seen.handles(),
                                     robots_disallow),
@@ -437,7 +479,8 @@ def run_crawl(
             _t = _tick("schedule", _t)
             # materialize barriers the epoch: every fetch task has extracted
             # AND pushed its candidate offers before the drain below
-            fetched = fetched.materialize()
+            if fetched is not None:
+                fetched = fetched.materialize()
             _t = _tick("fetch+extract+offer", _t)
 
             accepted = seen.drain("norm")  # sorted (norm, "%09d\x1furl")
@@ -445,54 +488,100 @@ def run_crawl(
             _t = _tick("drain", _t)
 
             # --- documents -> cross-epoch dedup -> simulated download ---
-            docs = _collect(fetched.map_batches(explode_documents,
-                                                batch_format="pyarrow"))
+            # (retry lane first with priority, then new tasks — T8)
+            new_tasks: list[tuple[str, int, int]] = []
+            if fetched is not None:
+                docs = _collect(fetched.map_batches(explode_documents,
+                                                    batch_format="pyarrow"))
+                if docs is not None and docs.num_rows:
+                    ddf = docs.to_pandas().sort_values(
+                        ["p_priority", "p_host", "p_norm", "p_url"],
+                        ascending=[False, True, True, True],
+                        kind="mergesort",
+                    ).drop_duplicates("url", keep="first")
+                    new_mask = seen.check_and_add("doc", ddf["url"].tolist())
+                    ddf = ddf[new_mask]
+                    new_tasks = [
+                        (u, int(d), 0)
+                        for u, d in sorted(zip(ddf["url"], ddf["depth"]))
+                    ]
+            work = sorted(pending_retry) + new_tasks
+            pending_retry = []
             dl_tbl = _empty_downloads(epoch)
-            if docs is not None and docs.num_rows:
-                ddf = docs.to_pandas().sort_values(
-                    ["p_priority", "p_host", "p_norm", "p_url"],
-                    ascending=[False, True, True, True],
-                    kind="mergesort",
-                ).drop_duplicates("url", keep="first")
-                new_mask = seen.check_and_add("doc", ddf["url"].tolist())
-                ddf = ddf[new_mask]
-                if len(ddf):
-                    ddf = ddf.sort_values("url", kind="mergesort")
-                    d_tbl = pa.Table.from_pandas(
-                        ddf[["url", "depth"]], preserve_index=False
+            if work:
+                d_tbl = pa.table(
+                    {
+                        "url": pa.array([w[0] for w in work], pa.string()),
+                        "depth": pa.array([w[1] for w in work], pa.int32()),
+                        "attempt": pa.array([w[2] for w in work], pa.int32()),
+                    }
+                )
+                if mode == "broadcast":
+                    dl_ds = rd.from_arrow(d_tbl).map_batches(
+                        DownloadSim(cfg, corpus_ref),
+                        batch_format="pyarrow",
                     )
-                    if mode == "broadcast":
-                        dl_ds = rd.from_arrow(d_tbl).map_batches(
-                            DownloadSim(cfg, corpus_ref),
-                            batch_format="pyarrow",
-                        )
-                        dl_out = _collect(dl_ds)
-                    else:
-                        dl_out = _download_join(d_tbl, pages_path, cfg)
-                    dl_out = (
-                        dl_out.to_pandas().sort_values("url", kind="mergesort")
-                        if dl_out is not None else None
+                    dl_out = _collect(dl_ds)
+                else:
+                    dl_out = _download_join(d_tbl, pages_path, cfg)
+                if dl_out is not None:
+                    ddl = dl_out.to_pandas().sort_values(
+                        ["url", "attempt"], kind="mergesort"
                     )
-                    if dl_out is not None:
-                        dl_tbl = pa.Table.from_pandas(
-                            dl_out, preserve_index=False
-                        ).append_column(
-                            "epoch", pa.array([epoch] * len(dl_out), pa.int32())
-                        )
+                    for _, r in ddl[~ddl["ok"]].iterrows():
+                        if r["attempt"] < cfg.max_retries:
+                            pending_retry.append(
+                                (r["url"], int(r["depth"]), int(r["attempt"]) + 1)
+                            )
+                    dl_tbl = pa.Table.from_pandas(
+                        ddl, preserve_index=False
+                    ).append_column(
+                        "epoch", pa.array([epoch] * len(ddl), pa.int32())
+                    )
 
             _t = _tick("documents+downloads", _t)
-            ext_tbl = _collect(fetched) or FETCHED_SCHEMA.empty_table()
-            ext_tbl = ext_tbl.append_column(
-                "epoch", pa.array([epoch] * ext_tbl.num_rows, pa.int32())
-            )
-            acc["extracted"].append(ext_tbl)
+            if collect:
+                ext_tbl = (
+                    _collect(fetched) if fetched is not None else None
+                ) or FETCHED_SCHEMA.empty_table()
+                ext_tbl = ext_tbl.append_column(
+                    "epoch", pa.array([epoch] * ext_tbl.num_rows, pa.int32())
+                )
+                acc["extracted"].append(ext_tbl)
+                res.pages_fetched += int(
+                    pa.compute.sum(ext_tbl["ok"]).as_py() or 0
+                )
+            else:
+                ext_tbl = None
+                if fetched is not None:
+                    if cfg.checkpoint_dir:
+                        # distributed sink: per-epoch partition dir
+                        fetched.write_parquet(
+                            os.path.join(
+                                cfg.checkpoint_dir, f"epoch={epoch}", "extracted"
+                            )
+                        )
+                    counts = _collect(
+                        fetched.map_batches(
+                            lambda t: pa.table(
+                                {"n": pa.array([t.num_rows], pa.int64()),
+                                 "ok": pa.array(
+                                     [int(pa.compute.sum(t["ok"]).as_py() or 0)],
+                                     pa.int64())}
+                            ),
+                            batch_format="pyarrow",
+                        )
+                    )
+                    if counts is not None:
+                        res.pages_fetched += int(
+                            pa.compute.sum(counts["ok"]).as_py() or 0
+                        )
             acc["order"].append(order_tbl)
             acc["downloads"].append(dl_tbl)
 
             if survivors is not None and survivors.num_rows:
-                sdf = survivors.to_pandas().sort_values("url_norm").reset_index(
-                    drop=True
-                )
+                # accepted pairs are already norm-sorted (drain sorts)
+                sdf = survivors.to_pandas()
             else:
                 sdf = pd.DataFrame(columns=["url", "url_norm", "host", "depth"])
             seen_delta = pa.table(
@@ -510,10 +599,7 @@ def run_crawl(
             next_frontier = pd.concat([deferred, new_frontier], ignore_index=True)
 
             if cfg.checkpoint_dir:
-                ckpt.write_epoch(
-                    cfg.checkpoint_dir,
-                    epoch,
-                    {
+                ckpt_tables = {
                         "frontier_next": pa.Table.from_pandas(
                             next_frontier, preserve_index=False
                         ) if len(next_frontier) else pa.table(
@@ -521,17 +607,34 @@ def run_crawl(
                                          ("depth", "priority") else pa.int32())
                              for c in FRONTIER_COLS}
                         ),
-                        "extracted": ext_tbl,
                         "order": order_tbl,
                         "downloads": dl_tbl,
                         "seen_delta": seen_delta,
-                    },
+                        "retries_next": pa.table(
+                            {
+                                "url": pa.array([w[0] for w in pending_retry],
+                                                pa.string()),
+                                "depth": pa.array([w[1] for w in pending_retry],
+                                                  pa.int32()),
+                                "attempt": pa.array(
+                                    [w[2] for w in pending_retry], pa.int32()
+                                ),
+                            }
+                        ),
+                }
+                if ext_tbl is not None:
+                    # collect=False writes extracted distributed instead
+                    ckpt_tables["extracted"] = ext_tbl
+                ckpt.write_epoch(
+                    cfg.checkpoint_dir,
+                    epoch,
+                    ckpt_tables,
                     meta={
                         "epoch": epoch,
                         "scheduled": len(scheduled),
                         "fetched_ok": int(
                             pa.compute.sum(ext_tbl["ok"]).as_py() or 0
-                        ),
+                        ) if ext_tbl is not None else None,
                         "seen_total": seen.total("norm"),
                     },
                 )
@@ -570,8 +673,8 @@ def _empty_downloads(epoch: int) -> pa.Table:
         {
             "url": pa.array([], pa.string()),
             "depth": pa.array([], pa.int32()),
+            "attempt": pa.array([], pa.int32()),
             "ok": pa.array([], pa.bool_()),
-            "retries": pa.array([], pa.int32()),
             "bytes": pa.array([], pa.int64()),
             "filename": pa.array([], pa.string()),
             "epoch": pa.array([], pa.int32()),
@@ -602,10 +705,8 @@ def _download_join(d_tbl: pa.Table, pages_path: str, cfg: CrawlConfig) -> pa.Tab
             {
                 "url": batch["url"],
                 "depth": batch["depth"],
+                "attempt": batch["attempt"],
                 "ok": pa.array(oks, pa.bool_()),
-                "retries": pa.array(
-                    [0 if ok else cfg.max_retries for ok in oks], pa.int32()
-                ),
                 "bytes": pa.array(
                     [b if b is not None else 0 for b in blens], pa.int64()
                 ),

@@ -189,7 +189,11 @@ def crawl_downloads(sf_dir: str) -> pd.DataFrame:
     """Document download log of the full crawl (rows-only)."""
     cdir = corpus_for(sf_dir)
     res = run_crawl(cdir, CrawlConfig())
-    return res.downloads.to_pandas().sort_values("url").reset_index(drop=True)
+    return (
+        res.downloads.to_pandas()
+        .sort_values(["url", "attempt"])
+        .reset_index(drop=True)
+    )
 
 
 def media_features_query(sf_dir: str) -> pd.DataFrame:

@@ -47,19 +47,36 @@ EXTRACTED_SCHEMA = pa.schema(
         ("documents", pa.list_(DOC_STRUCT)),
         ("doc_count", pa.int32()),
         ("text", pa.string()),
+        # quarantine flag (S7): DOM build failed, page yielded an empty
+        # slow-path result (reference logs such URLs to panic_urls.txt,
+        # crawler/crawler.go:136-142)
+        ("parse_error", pa.bool_()),
     ]
 )
 
 
 class RouteAndExtract:
     """Tier-2 tokenizer kernel. Extra input columns (depth, epoch, priority)
-    are passed through unchanged after the extraction columns."""
+    are passed through unchanged after the extraction columns.
+
+    User-extension surface (SURVEY.md §2.9): the router and both extractor
+    kernels are pluggable callables — swap in a custom policy/extractor
+    without touching the stage plumbing.
+
+    - router_fn(urls: pd.Series, sizes) -> array of "fast"/"slow"
+    - fast_fn(body: bytes, url: str) -> list[str]
+    - slow_fn(body: bytes, url: str, doc_exts) -> SlowExtraction-like
+    """
 
     def __init__(self, cfg: CrawlConfig | None = None,
-                 url_col: str = "url", html_col: str = "html"):
+                 url_col: str = "url", html_col: str = "html",
+                 router_fn=None, fast_fn=None, slow_fn=None):
         self.cfg = cfg or CrawlConfig()
         self.url_col = url_col
         self.html_col = html_col
+        self.router_fn = router_fn or route_batch
+        self.fast_fn = fast_fn or extract_links_fast
+        self.slow_fn = slow_fn or analyze_slow
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -70,7 +87,7 @@ class RouteAndExtract:
                   for b in bodies]
 
         import pandas as pd
-        paths = route_batch(
+        paths = self.router_fn(
             pd.Series(urls, dtype="object"),
             [len(b) for b in bodies],
             cfg.fast_path_size_limit,
@@ -85,14 +102,16 @@ class RouteAndExtract:
         out_ld: list[float | None] = [None] * n
         out_docs: list[list[dict]] = [[] for _ in range(n)]
         out_text: list[str] = [""] * n
+        out_perr: list[bool] = [False] * n
 
         for i in range(n):
             if paths[i] == "fast":
-                links = extract_links_fast(bodies[i], urls[i])
+                links = self.fast_fn(bodies[i], urls[i])
                 out_links[i] = links
                 out_text[i] = textspec.serialize_fast(links)
             else:
-                res = analyze_slow(bodies[i], urls[i], cfg.doc_extensions)
+                res = self.slow_fn(bodies[i], urls[i], cfg.doc_extensions)
+                out_perr[i] = bool(getattr(res, "parse_error", False))
                 out_links[i] = res.links
                 out_title[i] = res.title
                 out_desc[i] = res.description
@@ -119,6 +138,7 @@ class RouteAndExtract:
             "documents": pa.array(out_docs, pa.list_(DOC_STRUCT)),
             "doc_count": pa.array([len(x) for x in out_docs], pa.int32()),
             "text": pa.array(out_text, pa.string()),
+            "parse_error": pa.array(out_perr, pa.bool_()),
         }
         # pass through any extra input columns (depth, priority, epoch, ...)
         for name in batch.column_names:

@@ -67,12 +67,13 @@ FETCHED_SCHEMA = pa.schema(
         ("documents", pa.list_(DOC_STRUCT)),
         ("doc_count", pa.int32()),
         ("text", pa.string()),
+        ("parse_error", pa.bool_()),
     ]
 )
 
 _EXT_COLS = (
     "path", "links", "link_count", "title", "description", "has_nav",
-    "link_density", "documents", "doc_count", "text",
+    "link_density", "documents", "doc_count", "text", "parse_error",
 )
 
 

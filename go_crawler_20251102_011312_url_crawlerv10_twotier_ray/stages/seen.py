@@ -129,7 +129,7 @@ class ShardedSeen:
 
     def __init__(self, n_shards: int, bloom_capacity: int = 1_000_000):
         self.n_shards = n_shards
-        actor_cls = ray.remote(num_cpus=0.1)(SeenShard)
+        actor_cls = ray.remote(num_cpus=0.05)(SeenShard)
         self.shards = [
             actor_cls.remote(i, bloom_capacity) for i in range(n_shards)
         ]

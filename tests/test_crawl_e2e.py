@@ -52,15 +52,15 @@ def assert_matches_oracle(e, o):
     assert o_text == e_text  # byte-identical per url
 
     o_dl = sorted(
-        (r["url"], r["epoch"], r["ok"], r["retries"], r["filename"])
+        (r["url"], r["epoch"], r["attempt"], r["ok"], r["filename"])
         for r in o.downloads
     )
     e_dl = sorted(
         zip(
             e.downloads["url"].to_pylist(),
             e.downloads["epoch"].to_pylist(),
+            e.downloads["attempt"].to_pylist(),
             e.downloads["ok"].to_pylist(),
-            e.downloads["retries"].to_pylist(),
             e.downloads["filename"].to_pylist(),
         )
     )
@@ -78,6 +78,15 @@ def test_crawl_matches_oracle_default(smoke_corpus_dir):
     # sanity: dual-key dedup observed — some 304 (raw revisit) and 404 rows
     statuses = set(e.fetch_log["status"].to_pylist())
     assert {200, 404}.issubset(statuses)
+    # T8 retry lane: a missing document is attempted in 4 consecutive
+    # epochs (attempts 0..max_retries) then dropped
+    dl = e.downloads.to_pandas()
+    failed = dl[~dl["ok"]]
+    assert len(failed), "corpus should contain dangling document links"
+    worst = failed.groupby("url")["attempt"].agg(["min", "max", "count"])
+    assert (worst["max"] == 3).all() and (worst["count"] == 4).all()
+    per_url = failed.sort_values(["url", "attempt"]).groupby("url")["epoch"]
+    assert (per_url.apply(lambda s: (s.diff().dropna() == 1).all())).all()
 
 
 @pytest.fixture(scope="module")
