@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops: dedup ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         # --- similarity search ---

@@ -212,13 +212,13 @@ def _mark_revisits(
     return scheduled
 
 
-def _accepted_to_table(accepted: list[tuple[str, str]]) -> pa.Table | None:
-    """Vectorized: the accepted list is (norm, "%09d\x1furl") pairs already
+def _accepted_to_table(accepted: pa.Table) -> pa.Table | None:
+    """Vectorized: the drain table is (url_norm, "%09d\x1furl" key) already
     sorted by norm; split key and derive host from the normalized form with
     pandas C string kernels (no per-row URL re-parse)."""
-    if not accepted:
+    if accepted.num_rows == 0:
         return None
-    df = pd.DataFrame(accepted, columns=["url_norm", "key"])
+    df = accepted.to_pandas()
     parts = df["key"].str.split("\x1f", n=1, expand=True)
     depth = parts[0].astype("int32")
     url = parts[1]
@@ -411,14 +411,23 @@ def run_crawl(
             if max_epochs is not None and epoch - start_epoch >= max_epochs:
                 break
             _t = _time.perf_counter()
-            _sched_fn = (
-                _schedule_distributed
-                if len(frontier) > cfg.frontier_distributed_threshold
-                else _schedule_pandas
-            )
-            scheduled, deferred = _sched_fn(
-                frontier, host_budgets, cfg.default_host_budget
-            )
+            if (not cfg.record_order and not host_budgets
+                    and cfg.default_host_budget <= 0):
+                # trace off + unlimited budgets: scheduling is the identity
+                # (no deterministic rank needed) — skip the big sort
+                scheduled, deferred = (
+                    frontier.reset_index(drop=True),
+                    pd.DataFrame(columns=FRONTIER_COLS),
+                )
+            else:
+                _sched_fn = (
+                    _schedule_distributed
+                    if len(frontier) > cfg.frontier_distributed_threshold
+                    else _schedule_pandas
+                )
+                scheduled, deferred = _sched_fn(
+                    frontier, host_budgets, cfg.default_host_budget
+                )
             order_tbl = pa.table(
                 {
                     "epoch": pa.array([epoch] * len(scheduled), pa.int32()),
@@ -444,13 +453,16 @@ def run_crawl(
                                   // cfg.extract_batch_size))
             sched_ds = rd.from_arrow(sched_tbl).repartition(n_blocks)
 
+            import uuid
+
+            epoch_token = f"{uuid.uuid4().hex[:8]}-{epoch}"
             if len(scheduled) == 0:
                 # retry-drain epoch: only pending download retries remain
                 fetched = None
             elif mode == "broadcast":
                 fetched = sched_ds.map_batches(
                     FetchAndExtract(cfg, corpus_ref, seen.handles(),
-                                    robots_disallow),
+                                    robots_disallow, epoch_token),
                     batch_format="pyarrow",
                     batch_size=cfg.extract_batch_size,
                 )
@@ -472,7 +484,8 @@ def run_crawl(
                     on=("fetch_key",),
                 )
                 fetched = joined.map_batches(
-                    ExtractJoined(cfg, seen.handles(), robots_disallow),
+                    ExtractJoined(cfg, seen.handles(), robots_disallow,
+                                  epoch_token),
                     batch_format="pyarrow",
                     batch_size=cfg.extract_batch_size,
                 )

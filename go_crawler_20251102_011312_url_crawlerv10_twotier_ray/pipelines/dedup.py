@@ -157,6 +157,42 @@ def dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
+    """All-pairs word-shingle Jaccard WITHIN each ``source`` group (bounded
+    blocking key → no quadratic blowup across the corpus; the unblocked
+    scale path is dedup_minhash_lsh). Returns pairs with Jaccard ≥
+    threshold. Rows-only check; exactness covered by the planted-duplicate
+    tests."""
+    from ..functions.hashing import jaccard, shingles
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        sh = [shingles(t, SHINGLE_K) for t in g["text"]]
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jac = jaccard(sh[i], sh[j])
+                if jac >= threshold:
+                    rows.append((int(ids[i]), int(ids[j]), int(round(jac * 100))))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_pct"])
+
+    out = (
+        ds.groupby("source")
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_pct": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard_pct": "int64"}
+        )
+    return out.astype(
+        {"doc_a": "int64", "doc_b": "int64", "jaccard_pct": "int64"}
+    ).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

@@ -161,17 +161,38 @@ def corpus_lookup(ref, fk: str | None) -> bytes | None:
     return html_col[i].as_py() if i is not None else None
 
 
+# Worker-local offer cache, keyed by an epoch token: a norm this worker has
+# already offered with key k needs re-offering only if a LATER candidate has
+# a strictly smaller key (the shard already holds ≤ k) — exact min semantics
+# with a fraction of the actor-RPC volume (hot hub links repeat massively).
+_OFFER_CACHE: dict[str, dict[str, str]] = {}
+
+
 def offer_candidates(out_tbl: pa.Table, cand_kernel: CandidateLinks,
-                     seen_handles: list) -> None:
+                     seen_handles: list, epoch_token: str = "") -> None:
     """Explode + partial-dedup the links of a fetched batch and push
     (norm, min (depth,url) key) offers to the seen shards."""
     cand = cand_kernel(out_tbl)
-    if cand.num_rows:
-        keys = [
-            "%09d\x1f%s" % (d, u)
-            for d, u in zip(cand["depth"].to_pylist(), cand["url"].to_pylist())
-        ]
-        offer_min_batch(seen_handles, "norm", cand["url_norm"].to_pylist(), keys)
+    if not cand.num_rows:
+        return
+    if len(_OFFER_CACHE) > 2:  # keep only the current + previous epoch
+        for k in list(_OFFER_CACHE)[:-2]:
+            del _OFFER_CACHE[k]
+    cache = _OFFER_CACHE.setdefault(epoch_token, {})
+    norms_out: list[str] = []
+    keys_out: list[str] = []
+    for norm, d, u in zip(cand["url_norm"].to_pylist(),
+                          cand["depth"].to_pylist(),
+                          cand["url"].to_pylist()):
+        key = "%09d\x1f%s" % (d, u)
+        prev = cache.get(norm)
+        if prev is not None and prev <= key:
+            continue
+        cache[norm] = key
+        norms_out.append(norm)
+        keys_out.append(key)
+    if norms_out:
+        offer_min_batch(seen_handles, "norm", norms_out, keys_out)
 
 
 class FetchAndExtract:
@@ -180,12 +201,13 @@ class FetchAndExtract:
     closure, the corpus index only as an ObjectRef)."""
 
     def __init__(self, cfg: CrawlConfig, corpus_ref, seen_handles: list,
-                 robots_disallow: dict | None = None):
+                 robots_disallow: dict | None = None, epoch_token: str = ""):
         self.cfg = cfg
         self.corpus_ref = corpus_ref
         self.seen_handles = seen_handles
         self.extractor = RouteAndExtract(cfg)
         self.cand_kernel = CandidateLinks(cfg, robots_disallow)
+        self.epoch_token = epoch_token
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -208,7 +230,8 @@ class FetchAndExtract:
                 statuses.append(200)
                 bodies.append(body[:cap])
         out = build_fetched_table(batch, statuses, bodies, self.extractor)
-        offer_candidates(out, self.cand_kernel, self.seen_handles)
+        offer_candidates(out, self.cand_kernel, self.seen_handles,
+                         self.epoch_token)
         return out
 
 
@@ -223,11 +246,12 @@ class ExtractJoined:
     (nullable) html column into statuses, extract, and offer candidates."""
 
     def __init__(self, cfg: CrawlConfig, seen_handles: list,
-                 robots_disallow: dict | None = None):
+                 robots_disallow: dict | None = None, epoch_token: str = ""):
         self.cfg = cfg
         self.extractor = RouteAndExtract(cfg)
         self.seen_handles = seen_handles
         self.cand_kernel = CandidateLinks(cfg, robots_disallow)
+        self.epoch_token = epoch_token
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -248,5 +272,6 @@ class ExtractJoined:
                 statuses.append(200)
                 bodies.append(htmls[i][:cap])
         out = build_fetched_table(batch, statuses, bodies, self.extractor)
-        offer_candidates(out, self.cand_kernel, self.seen_handles)
+        offer_candidates(out, self.cand_kernel, self.seen_handles,
+                         self.epoch_token)
         return out

@@ -78,17 +78,20 @@ class SeenShard:
                 n += 1
         return n
 
-    def drain_epoch(self, kind: str) -> list[tuple[str, str]]:
+    def drain_epoch(self, kind: str):
         """Commit the epoch buffer into the seen set; return accepted
-        (norm, min_key) pairs."""
+        (norm, min_key) pairs as two Arrow arrays (zero-copy transfer)."""
+        import pyarrow as pa
+
         buf = self.epoch_buf.pop(kind, {})
         s = self.exact[kind]
-        bf = self.bloom[kind]
         out = sorted(buf.items())
-        for norm, _ in out:
-            s.add(norm)
-            bf.add(norm)
-        return out
+        s.update(buf.keys())
+        self.bloom[kind].add_many(list(buf.keys()))
+        return (
+            pa.array([n for n, _ in out], pa.string()),
+            pa.array([k for _, k in out], pa.string()),
+        )
 
     def contains(self, kind: str, keys: list[str]) -> list[bool]:
         s = self.exact[kind]
@@ -96,11 +99,9 @@ class SeenShard:
 
     def add(self, kind: str, keys: list[str]) -> None:
         s = self.exact[kind]
-        bf = self.bloom[kind]
-        for k in keys:
-            if k not in s:
-                s.add(k)
-                bf.add(k)
+        new = [k for k in keys if k not in s]
+        s.update(new)
+        self.bloom[kind].add_many(new)
 
     def size(self, kind: str) -> int:
         return len(self.exact[kind])
@@ -143,13 +144,21 @@ class ShardedSeen:
     def total(self, kind: str) -> int:
         return sum(ray.get([s.size.remote(kind) for s in self.shards]))
 
-    def drain(self, kind: str) -> list[tuple[str, str]]:
+    def drain(self, kind: str):
+        """Merged accepted (norm, key) pairs from all shards, norm-sorted,
+        as a pyarrow Table."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         parts = ray.get([s.drain_epoch.remote(kind) for s in self.shards])
-        out: list[tuple[str, str]] = []
-        for p in parts:
-            out.extend(p)
-        out.sort()
-        return out
+        norms = pa.concat_arrays([p[0] for p in parts])
+        keys = pa.concat_arrays([p[1] for p in parts])
+        if len(norms) == 0:
+            return pa.table({"url_norm": norms, "key": keys})
+        idx = pc.sort_indices(norms)
+        return pa.table(
+            {"url_norm": pc.take(norms, idx), "key": pc.take(keys, idx)}
+        )
 
     def snapshots(self) -> list[dict]:
         return ray.get([s.snapshot.remote() for s in self.shards])

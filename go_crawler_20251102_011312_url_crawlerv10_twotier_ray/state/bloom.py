@@ -36,20 +36,33 @@ class BloomFilter:
         self.bits = np.zeros((n_bits + 7) // 8, dtype=np.uint8)
         self.n_added = 0
 
-    def _positions(self, key: str) -> np.ndarray:
+    def _h(self, key: str) -> tuple[int, int]:
         d = hashlib.blake2b(key.encode(), digest_size=16).digest()
-        h1 = int.from_bytes(d[:8], "little")
-        h2 = int.from_bytes(d[8:], "little") | 1
-        return np.fromiter(
-            ((h1 + i * h2) % self.n_bits for i in range(self.n_hashes)),
-            dtype=np.int64,
-            count=self.n_hashes,
-        )
+        return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little") | 1
+
+    def _positions(self, key: str) -> np.ndarray:
+        # uint64 wraparound arithmetic (matches the vectorized add_many)
+        h1, h2 = self._h(key)
+        i = np.arange(self.n_hashes, dtype=np.uint64)
+        pos = (np.uint64(h1) + i * np.uint64(h2)) % np.uint64(self.n_bits)
+        return pos.astype(np.int64)
 
     def add(self, key: str) -> None:
         pos = self._positions(key)
         np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
         self.n_added += 1
+
+    def add_many(self, keys) -> None:
+        """Vectorized bulk insert: one digest per key, a single broadcasted
+        position matrix, one scatter — the per-epoch drain path."""
+        if not keys:
+            return
+        hs = np.array([self._h(k) for k in keys], dtype=np.uint64)
+        i = np.arange(self.n_hashes, dtype=np.uint64)
+        pos = ((hs[:, :1] + i[None, :] * hs[:, 1:2]) % np.uint64(self.n_bits))
+        pos = pos.reshape(-1).astype(np.int64)
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        self.n_added += len(keys)
 
     def might_contain(self, key: str) -> bool:
         pos = self._positions(key)

@@ -49,13 +49,16 @@ def test_seen_shard_offer_min_deterministic():
     seen = ShardedSeen(4)
     try:
         h = seen.handles()
+        def as_dict(t):
+            return dict(zip(t["url_norm"].to_pylist(), t["key"].to_pylist()))
+
         offer_min_batch(h, "norm", ["n1", "n2"], ["5|b", "3|x"])
         offer_min_batch(h, "norm", ["n1", "n3"], ["2|a", "9|z"])
-        accepted = dict(seen.drain("norm"))
+        accepted = as_dict(seen.drain("norm"))
         assert accepted == {"n1": "2|a", "n2": "3|x", "n3": "9|z"}
         # second epoch: already-seen norms are rejected at offer time
         offer_min_batch(h, "norm", ["n1", "n4"], ["1|q", "7|w"])
-        accepted2 = dict(seen.drain("norm"))
+        accepted2 = as_dict(seen.drain("norm"))
         assert accepted2 == {"n4": "7|w"}
         assert seen.total("norm") == 4
     finally:
