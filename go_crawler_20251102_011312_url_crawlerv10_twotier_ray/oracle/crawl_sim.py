@@ -90,9 +90,11 @@ def crawl(
     downloaded_or_pending: set[str] = set()
 
     frontier: list[tuple[int, str, int]] = []  # (priority, url_raw, depth)
+    seed_raws: set[str] = set()
     for s in seeds:
         v = validate_seed(s)
-        if v is not None:
+        if v is not None and v not in seed_raws:  # duplicate raw seeds collapse
+            seed_raws.add(v)
             frontier.append((0, v, 0))
 
     pending_retry: list[tuple[str, int, int]] = []  # (url, depth, attempt)

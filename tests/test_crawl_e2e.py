@@ -137,6 +137,34 @@ def test_crawl_join_mode(tiny_corpus_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_crawl_multi_seed_and_custom_extensions(tiny_corpus_dir):
+    """Multiple seeds (incl. a schemeless one, a duplicate, and an invalid
+    one) and a widened doc-extension list must still match the oracle."""
+    import pyarrow.parquet as pq_
+
+    pages = pq_.read_table(tiny_corpus_dir + "/pages", columns=["url"])
+    urls = pages["url"].to_pylist()
+    second = next(u for u in urls if "/sitemap/hub" in u)
+    seeds = [
+        urls[0],
+        second,
+        second.split("://", 1)[1],  # schemeless → https:// prefixed → 404
+        urls[0],                    # duplicate raw seed
+        "not a url",               # invalid → dropped
+    ]
+    cfg = CrawlConfig(doc_extensions=(".pdf", ".html"))
+    o = crawl_sim.crawl(load_corpus_dict(tiny_corpus_dir), seeds, cfg)
+    e = run_crawl(tiny_corpus_dir, cfg, seeds=seeds)
+    assert_matches_oracle(e, o)
+    # widened extension list detected .html documents too
+    exts = {d["filename"].rsplit(".", 1)[-1]
+            for d in e.downloads.to_pylist() if d["ok"]}
+    assert "html" in exts or any(
+        ".html" in u for u in e.downloads["url"].to_pylist()
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_checkpoint_resume(tiny_corpus_dir, tmp_path):
     """Kill after 2 epochs, resume from checkpoint: final state must equal
     an uninterrupted run (per-partition lineage, north rule)."""
