@@ -56,6 +56,7 @@ from ..stages.fetch import (
     add_fetch_key,
 )
 from ..stages.seen import ShardedSeen
+from ..stages.seen import assemble_drain as _assemble_drain
 from ..state import checkpoint as ckpt
 
 FRONTIER_COLS = ["url", "url_norm", "host", "depth", "priority"]
@@ -496,9 +497,12 @@ def run_crawl(
                 fetched = fetched.materialize()
             _t = _tick("fetch+extract+offer", _t)
 
-            accepted = seen.drain("norm")  # sorted (norm, "%09d\x1furl")
-            survivors = _accepted_to_table(accepted)
-            _t = _tick("drain", _t)
+            # kick off the shard drains asynchronously; the documents
+            # section below runs while shards serialize their results
+            drain_refs = [
+                sh.drain_epoch.remote("norm") for sh in seen.handles()
+            ]
+            _t = _tick("drain-submit", _t)
 
             # --- documents -> cross-epoch dedup -> simulated download ---
             # (retry lane first with priority, then new tasks — T8)
@@ -553,6 +557,9 @@ def run_crawl(
                     )
 
             _t = _tick("documents+downloads", _t)
+            accepted = _assemble_drain(ray.get(drain_refs))
+            survivors = _accepted_to_table(accepted)
+            _t = _tick("drain-assemble", _t)
             if collect:
                 ext_tbl = (
                     _collect(fetched) if fetched is not None else None

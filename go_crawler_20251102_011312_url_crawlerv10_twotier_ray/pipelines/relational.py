@@ -143,8 +143,12 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    try:
+        n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    except Exception:
+        n_part = 8
     joined = line.map_batches(rev, batch_format="pyarrow").join(
-        orders_f, join_type="inner", num_partitions=8,
+        orders_f, join_type="inner", num_partitions=n_part,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     out = (

@@ -147,17 +147,8 @@ class ShardedSeen:
     def drain(self, kind: str):
         """Merged accepted (norm, key) pairs from all shards, norm-sorted,
         as a pyarrow Table."""
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        parts = ray.get([s.drain_epoch.remote(kind) for s in self.shards])
-        norms = pa.concat_arrays([p[0] for p in parts])
-        keys = pa.concat_arrays([p[1] for p in parts])
-        if len(norms) == 0:
-            return pa.table({"url_norm": norms, "key": keys})
-        idx = pc.sort_indices(norms)
-        return pa.table(
-            {"url_norm": pc.take(norms, idx), "key": pc.take(keys, idx)}
+        return assemble_drain(
+            ray.get([s.drain_epoch.remote(kind) for s in self.shards])
         )
 
     def snapshots(self) -> list[dict]:
@@ -172,6 +163,21 @@ class ShardedSeen:
         for s in self.shards:
             ray.kill(s)
         self.shards = []
+
+
+def assemble_drain(parts):
+    """Merge per-shard (norms, keys) arrow arrays into one norm-sorted table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    norms = pa.concat_arrays([p[0] for p in parts])
+    keys = pa.concat_arrays([p[1] for p in parts])
+    if len(norms) == 0:
+        return pa.table({"url_norm": norms, "key": keys})
+    idx = pc.sort_indices(norms)
+    return pa.table(
+        {"url_norm": pc.take(norms, idx), "key": pc.take(keys, idx)}
+    )
 
 
 def shard_of(key: str, n_shards: int) -> int:

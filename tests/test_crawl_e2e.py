@@ -137,6 +137,26 @@ def test_crawl_join_mode(tiny_corpus_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_crawl_politeness_table(tiny_corpus_dir):
+    """use_politeness_table=True reads budgets + robots rules from the
+    corpus's politeness parquet; result must match the oracle fed the same
+    dicts."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.crawl import (
+        load_politeness,
+    )
+
+    budgets, robots = load_politeness(tiny_corpus_dir)
+    assert budgets  # the generator writes a budget for host00
+    cfg = CrawlConfig(respect_robots=True)
+    o = crawl_sim.crawl(
+        load_corpus_dict(tiny_corpus_dir), _seeds(tiny_corpus_dir), cfg,
+        host_budgets=budgets, robots_disallow=robots,
+    )
+    e = run_crawl(tiny_corpus_dir, cfg, use_politeness_table=True)
+    assert_matches_oracle(e, o)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_crawl_multi_seed_and_custom_extensions(tiny_corpus_dir):
     """Multiple seeds (incl. a schemeless one, a duplicate, and an invalid
     one) and a widened doc-extension list must still match the oracle."""
