@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Min, Sum
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
