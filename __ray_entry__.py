@@ -91,6 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the crawl oracles read the synthetic corpus via read_parquet: make
+    # sure it exists even if the driver runs SQL before the Ray queries
+    # (generation is pure Python — no Ray session needed)
+    cq.corpus_for("/root/testdata/sf0.01")
     return {
         "crawl_extract_text": cq.CRAWL_EXTRACT_TEXT_SQL,
         "crawl_router_split": cq.CRAWL_ROUTER_SPLIT_SQL,
