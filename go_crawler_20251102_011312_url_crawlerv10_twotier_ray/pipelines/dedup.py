@@ -113,21 +113,41 @@ def dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
     planted near-duplicates."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     sigs = ds.map_batches(MinHashSignatures, batch_format="pyarrow",
-                          batch_size=256, concurrency=(2, 8))
+                          batch_size=256, concurrency=(2, 8)).materialize()
+    # (materialized: both the count shuffle and the collision filter below
+    # consume it — without this the signature stage would run twice)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # Bands are overwhelmingly singletons: a map_groups over every band
+    # would pay one Python call per band. Instead: C-speed count shuffle →
+    # broadcast the (small) hot-band set → filter sig rows to collisions →
+    # pairs from the collision rows only (≪ corpus size).
+    from ray.data.aggregate import Count
+
+    counts = sigs.groupby("band").aggregate(Count(alias_name="n")).to_pandas()
+    hot = set(counts[counts["n"] > 1]["band"])
+    if not hot:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_pct": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard_pct": "int64"}
+        )
+    hot_ref = ray.put(hot)
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        from ..stages.fetch import cached_broadcast
+
+        hs = cached_broadcast(hot_ref)
+        mask = pa.array([b in hs for b in t["band"].to_pylist()])
+        return t.filter(mask)
+
+    coll = sigs.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+    pairs = []
+    for _, g in coll.groupby("band"):
         ids = sorted(set(g["doc_id"]))
         if len(ids) < 2 or len(ids) > 200:  # skip degenerate giant buckets
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
-
-    cand = (
-        sigs.groupby("band")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+            continue
+        pairs.extend(
+            (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+        )
+    cand = pd.DataFrame(pairs, columns=["doc_a", "doc_b"]).drop_duplicates()
     if not len(cand):
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_pct": []}).astype(
             {"doc_a": "int64", "doc_b": "int64", "jaccard_pct": "int64"}
@@ -137,9 +157,14 @@ def dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
     # exact shingle Jaccard
     need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
     need_set = set(need)
+
+    def keep_needed(t: pa.Table) -> pa.Table:
+        mask = pa.array([i in need_set for i in t["doc_id"].to_pylist()])
+        return t.filter(mask)
+
     texts_df = (
         _docs(sf_dir, ["doc_id", "text"])
-        .filter(lambda r: r["doc_id"] in need_set)
+        .map_batches(keep_needed, batch_format="pyarrow")
         .to_pandas()
     )
     texts = dict(zip(texts_df["doc_id"], texts_df["text"]))
