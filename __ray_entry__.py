@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": relational.q3_top_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
         "events_hourly_window": relational.events_hourly_window,
+        "events_sliding_window": relational.events_sliding_window,
         "events_sessionize": relational.events_sessionize,
         "top_customers": relational.top_customers,
         "part_type_counts": relational.part_type_counts,
@@ -102,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,
         "events_hourly_window": relational.EVENTS_WINDOW_SQL,
+        "events_sliding_window": relational.EVENTS_SLIDING_SQL,
         "events_sessionize": relational.EVENTS_SESSION_SQL,
         "top_customers": relational.TOP_CUSTOMERS_SQL,
         "part_type_counts": relational.PART_TYPE_SQL,

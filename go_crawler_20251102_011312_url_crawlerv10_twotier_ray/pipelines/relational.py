@@ -281,6 +281,59 @@ GROUP BY event_type, date_trunc('hour', ts)
 ORDER BY event_type, window_start
 """
 
+SLIDE_STEP_MIN = 15
+SLIDE_WINDOW_MIN = 60
+
+
+def events_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window aggregate (1 h window, 15 min step): each event lands
+    in WINDOW/STEP = 4 windows — emitted vectorized per batch (no row
+    loops), then a grouped sum over the small (type, window) key space. The
+    SQL oracle materializes the same 4 offsets with a VALUES cross join."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    k = SLIDE_WINDOW_MIN // SLIDE_STEP_MIN
+    step_us = SLIDE_STEP_MIN * 60 * 1_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        base = (ts // step_us) * step_us  # latest step boundary ≤ ts
+        offs = (np.arange(k) * step_us)[None, :]
+        starts = (base[:, None] - offs).reshape(-1)  # (n*k,) window starts
+        return pa.table(
+            {
+                "event_type": pa.array(np.repeat(types, k)),
+                "window_start": pa.array(starts).cast(pa.timestamp("us")),
+                "value_c": pa.array(np.repeat(val, k)),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_c", alias_name="sum_value_c"))
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+EVENTS_SLIDING_SQL = f"""
+SELECT event_type,
+       time_bucket(INTERVAL {SLIDE_STEP_MIN} MINUTE, ts)
+         - k.k * INTERVAL {SLIDE_STEP_MIN} MINUTE AS window_start,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 SESSION_GAP_MIN = 30
 
 
