@@ -85,10 +85,11 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT))                                  AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT))                       AS sum_base_c,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))  AS sum_disc_c4,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT))
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)                  AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)       AS sum_base_c,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+                                                                               AS sum_disc_c4,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT)
                                                                                AS sum_charge_c6,
        count(*)                                                                AS count_order,
        sum(CAST(round(l_quantity) AS BIGINT)) / CAST(count(*) AS DOUBLE)       AS avg_qty,
@@ -166,7 +167,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
 Q3_SQL = f"""
 SELECT o.o_orderkey, o.o_orderdate,
-       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS revenue_c4
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -230,7 +231,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
 
 Q5_SQL = """
 SELECT n.n_name,
-       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS revenue_c4
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -275,7 +276,7 @@ def events_hourly_window(sf_dir: str) -> pd.DataFrame:
 EVENTS_WINDOW_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events
 GROUP BY event_type, date_trunc('hour', ts)
 ORDER BY event_type, window_start
@@ -329,7 +330,7 @@ SELECT event_type,
        time_bucket(INTERVAL {SLIDE_STEP_MIN} MINUTE, ts)
          - k.k * INTERVAL {SLIDE_STEP_MIN} MINUTE AS window_start,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -428,7 +429,7 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
 
 TOP_CUSTOMERS_SQL = """
 SELECT o.o_custkey, c.c_name,
-       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS spend_c,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c,
        count(*) AS n_orders
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY o.o_custkey, c.c_name

@@ -240,6 +240,6 @@ def lang_distribution(sf_dir: str) -> pd.DataFrame:
 
 
 LANG_DIST_SQL = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang ORDER BY lang
 """

@@ -36,6 +36,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c].dtype):
+            # width-insensitive (driver hashes values), int-vs-float strict
+            df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -53,7 +56,9 @@ def test_query_matches_oracle(name, con):
     g, w = _canon(got), _canon(want)
     assert list(g.columns) == list(w.columns), (g.columns, w.columns)
     assert len(g) == len(w), (len(g), len(w))
-    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    # dtype-exact: the driver's value-hash is dtype-sensitive (DuckDB
+    # HUGEINT sums land as float64 in pandas and break it — VERDICT r1 §wrong.1)
+    pd.testing.assert_frame_equal(g, w, check_dtype=True)
 
 
 ROWS_ONLY_MIN = {
