@@ -99,6 +99,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "crawl_extract_text": cq.CRAWL_EXTRACT_TEXT_SQL,
         "crawl_router_split": cq.CRAWL_ROUTER_SPLIT_SQL,
+        "crawl_link_stats": cq.CRAWL_LINK_STATS_SQL,
+        "crawl_seen_set": cq.CRAWL_SEEN_SQL,
+        "crawl_fetch_log": cq.CRAWL_FETCH_LOG_SQL,
+        "crawl_downloads": cq.CRAWL_DOWNLOADS_SQL,
+        "media_features": cq.MEDIA_FEATURES_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

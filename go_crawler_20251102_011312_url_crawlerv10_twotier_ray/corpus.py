@@ -86,8 +86,11 @@ def build_corpus(
 ):
     """Build the corpus in memory.
 
-    Returns (pages_rows, seeds, politeness_rows) where pages_rows is a list
-    of dicts (url, warc_ts, html, text, lang).
+    Returns (pages_rows, seeds, politeness_rows, page_stats) where
+    pages_rows is a list of dicts (url, warc_ts, html, text, lang) and
+    page_stats (None unless mint_text) is one (path, link_count, doc_count)
+    dict per page from the same pinned-oracle extraction that minted text —
+    the ground truth for the link-stats driver oracle.
     """
     rng = random.Random(seed)
     langs = ["en", "en", "en", "de", "fr"]
@@ -139,14 +142,21 @@ def build_corpus(
         by_host.setdefault(u.split("/")[2], []).append(u)
 
     pages_rows = []
+    page_stats = [] if mint_text else None
     for idx, u in enumerate(urls):
         kind = kinds[u]
         html = _render(u, kind, idx, rng, urls, hub_urls, chain_urls,
                        pdf_urls, content_urls, by_host, hub_fanout)
         body = html[: cfg.max_body_bytes]
-        text = (
-            extract_page(u, body, cfg.doc_extensions).text if mint_text else ""
-        )
+        if mint_text:
+            ext = extract_page(u, body, cfg.doc_extensions)
+            text = ext.text
+            page_stats.append(
+                {"path": ext.path, "link_count": len(ext.links),
+                 "doc_count": len(ext.documents)}
+            )
+        else:
+            text = ""
         pages_rows.append(
             {"url": u, "warc_ts": _EPOCH_US + idx * 1_000_000, "html": html,
              "text": text, "lang": rng.choice(langs)}
@@ -159,7 +169,7 @@ def build_corpus(
          "robots_disallow": ["/q/"] if h == 1 else []}
         for h in range(n_hosts)
     ]
-    return pages_rows, seeds, politeness_rows
+    return pages_rows, seeds, politeness_rows, page_stats
 
 
 def _anchor(rng: random.Random, target: str, i: int) -> str:
@@ -310,6 +320,114 @@ PAGES_SCHEMA = pa.schema(
 )
 
 
+def _mint_oracle_tables(out_dir: str, pages: list[dict], seeds: list[str],
+                        page_stats: list[dict], cfg: CrawlConfig) -> None:
+    """Run the pinned sequential simulator (oracle/crawl_sim.py) over the
+    just-built corpus and persist its outputs as parquet next to ``pages/``
+    — exactly the trick that made crawl_extract_text a hash-checked driver
+    gate (the minted ``text`` column). These give the crawl loop's stateful
+    outputs (T1 seen set / fetch log / T3+T8 downloads — the reference's
+    crawler_twotier.go:223-245 and downloader.go:280-329 semantics)
+    independent driver oracles via plain ``read_parquet`` SQL.
+
+    Matches ``run_crawl(corpus_dir, CrawlConfig())`` as the crawl queries
+    invoke it: default config, seeds.parquet seeds, NO politeness table."""
+    from .oracle.crawl_sim import crawl as sim_crawl
+    from .pipelines.multimodal import fake_decode
+
+    corpus = {r["url"]: r["html"] for r in pages}
+    res = sim_crawl(corpus, seeds, cfg)
+
+    seen_rows = sorted(res.seen.items())  # url_norm-sorted
+    pq.write_table(
+        pa.table(
+            {
+                "url_norm": pa.array([n for n, _ in seen_rows], pa.string()),
+                "first_depth": pa.array(
+                    [d for _, (d, _) in seen_rows], pa.int32()
+                ),
+                "url": pa.array([u for _, (_, u) in seen_rows], pa.string()),
+            }
+        ),
+        os.path.join(out_dir, "oracle_seen.parquet"),
+    )
+    fl = sorted(res.fetch_log, key=lambda r: (r["epoch"], r["url"], r["status"]))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r["url"] for r in fl], pa.string()),
+                "epoch": pa.array([r["epoch"] for r in fl], pa.int32()),
+                "depth": pa.array([r["depth"] for r in fl], pa.int32()),
+                "status": pa.array([r["status"] for r in fl], pa.int32()),
+                "bytes": pa.array([r["bytes"] for r in fl], pa.int64()),
+                "ok": pa.array([r["ok"] for r in fl], pa.bool_()),
+            }
+        ),
+        os.path.join(out_dir, "oracle_fetch_log.parquet"),
+    )
+    dl = sorted(res.downloads, key=lambda r: (r["url"], r["attempt"]))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r["url"] for r in dl], pa.string()),
+                "depth": pa.array([r["depth"] for r in dl], pa.int32()),
+                "attempt": pa.array([r["attempt"] for r in dl], pa.int32()),
+                "ok": pa.array([r["ok"] for r in dl], pa.bool_()),
+                "bytes": pa.array([r["bytes"] for r in dl], pa.int64()),
+                "filename": pa.array([r["filename"] for r in dl], pa.string()),
+                "epoch": pa.array([r["epoch"] for r in dl], pa.int32()),
+            }
+        ),
+        os.path.join(out_dir, "oracle_downloads.parquet"),
+    )
+
+    # whole-corpus per-path link/doc aggregate (crawl_link_stats oracle),
+    # from the same extraction pass that minted text
+    agg: dict[str, list[int]] = {}
+    for st in page_stats:
+        a = agg.setdefault(st["path"], [0, 0, 0])
+        a[0] += 1
+        a[1] += st["link_count"]
+        a[2] += st["doc_count"]
+    paths = sorted(agg)
+    pq.write_table(
+        pa.table(
+            {
+                "path": pa.array(paths, pa.string()),
+                "pages": pa.array([agg[p][0] for p in paths], pa.int64()),
+                "links": pa.array([agg[p][1] for p in paths], pa.int64()),
+                "docs": pa.array([agg[p][2] for p in paths], pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "oracle_link_stats.parquet"),
+    )
+
+    # deterministic media features (multimodal stub decode) per page
+    rows = sorted(pages, key=lambda r: r["url"])
+    fmts, ws, hs, crcs = [], [], [], []
+    for r in rows:
+        f, w, h, c, _ = fake_decode(r["html"])
+        fmts.append(f)
+        ws.append(w)
+        hs.append(h)
+        crcs.append(c)
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r["url"] for r in rows], pa.string()),
+                "n_bytes": pa.array(
+                    [len(r["html"]) for r in rows], pa.int64()
+                ),
+                "format": pa.array(fmts, pa.string()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "feat_crc": pa.array(crcs, pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "oracle_media.parquet"),
+    )
+
+
 def write_corpus(
     out_dir: str,
     n_pages: int = 200,
@@ -320,20 +438,22 @@ def write_corpus(
     chain_len: int = 17,
     hub_fanout: int = 40,
 ) -> str:
-    """Generate and write pages/seeds/politeness parquet under ``out_dir``.
+    """Generate and write pages/seeds/politeness parquet under ``out_dir``
+    (plus the crawl-loop oracle tables when ``mint_text`` is on — test/query
+    corpora carry their own ground truth; bench corpora skip both).
 
     Idempotent: if ``out_dir/_SUCCESS`` exists the cached corpus is reused
     (corpora are pure functions of the parameters, which are recorded in the
     marker)."""
     marker = os.path.join(out_dir, "_SUCCESS")
-    stamp = (f"v2:{n_pages}:{n_hosts}:{seed}:{mint_text}:{include_huge}"
+    stamp = (f"v3:{n_pages}:{n_hosts}:{seed}:{mint_text}:{include_huge}"
              f":{chain_len}:{hub_fanout}")
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    pages, seeds, politeness = build_corpus(
+    pages, seeds, politeness, page_stats = build_corpus(
         n_pages, n_hosts, seed, mint_text, include_huge, chain_len, hub_fanout
     )
     # pages is a DIRECTORY of part files: ray.data.read_parquet issues one
@@ -369,6 +489,8 @@ def write_corpus(
         ),
         os.path.join(out_dir, "politeness.parquet"),
     )
+    if mint_text:
+        _mint_oracle_tables(out_dir, pages, seeds, page_stats, CrawlConfig())
     with open(marker, "w") as f:
         f.write(stamp)
     return out_dir

@@ -40,8 +40,11 @@ def corpus_for(sf_dir: str) -> str:
     )
 
 
-# path the driver's sf0.01 oracle SQL reads (stable by construction)
-SF001_PAGES = os.path.join(CORPUS_ROOT, "sf0.01", "pages", "part-*.parquet")
+# paths the driver's sf0.01 oracle SQL reads (stable by construction);
+# the oracle_* tables are minted by the pinned sequential simulator at
+# corpus-generation time (corpus._mint_oracle_tables)
+SF001_DIR = os.path.join(CORPUS_ROOT, "sf0.01")
+SF001_PAGES = os.path.join(SF001_DIR, "pages", "part-*.parquet")
 
 
 def crawl_extract_text(sf_dir: str) -> pd.DataFrame:
@@ -162,6 +165,12 @@ def crawl_link_stats(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+CRAWL_LINK_STATS_SQL = f"""
+SELECT path, pages, links, docs
+FROM read_parquet('{SF001_DIR}/oracle_link_stats.parquet') ORDER BY path
+"""
+
+
 # the three crawl queries share one deterministic crawl run per corpus
 _CRAWL_CACHE: dict[str, object] = {}
 
@@ -174,8 +183,9 @@ def _crawl_for(cdir: str):
 
 
 def crawl_seen_set(sf_dir: str) -> pd.DataFrame:
-    """Full frontier crawl; returns the final URL-seen set (rows-only
-    driver check; pytest gates exact equality vs the oracle simulator)."""
+    """Full frontier crawl; returns the final URL-seen set. The driver
+    oracle is the simulator-minted oracle_seen.parquet — an independent
+    check of the sharded seen actors (T1, crawler_twotier.go:223-245)."""
     cdir = corpus_for(sf_dir)
     res = _crawl_for(cdir)
     return (
@@ -185,29 +195,64 @@ def crawl_seen_set(sf_dir: str) -> pd.DataFrame:
     )
 
 
+CRAWL_SEEN_SQL = f"""
+SELECT url_norm, first_depth, url
+FROM read_parquet('{SF001_DIR}/oracle_seen.parquet') ORDER BY url_norm
+"""
+
+
 def crawl_fetch_log(sf_dir: str) -> pd.DataFrame:
-    """Fetch log of the full crawl (statuses 200/304/404; rows-only)."""
+    """Fetch log of the full crawl (statuses 200/304/404), checked against
+    the simulator-minted oracle_fetch_log.parquet. Sorted on (epoch, url,
+    status): a seed re-discovered in the same epoch yields a 200 and a 304
+    row for one (epoch, url), so status breaks the tie deterministically."""
     cdir = corpus_for(sf_dir)
     res = _crawl_for(cdir)
     return (
         res.fetch_log.to_pandas()
-        .sort_values(["epoch", "url"])
+        .sort_values(["epoch", "url", "status"], kind="mergesort")
         .reset_index(drop=True)
     )
 
 
+CRAWL_FETCH_LOG_SQL = f"""
+SELECT url, epoch, depth, status, bytes, ok
+FROM read_parquet('{SF001_DIR}/oracle_fetch_log.parquet')
+ORDER BY epoch, url, status
+"""
+
+
 def crawl_downloads(sf_dir: str) -> pd.DataFrame:
-    """Document download log of the full crawl (rows-only)."""
+    """Document download log of the full crawl, checked against the
+    simulator-minted oracle_downloads.parquet (T3 dedup + T8 retry lane,
+    downloader.go:280-329)."""
     cdir = corpus_for(sf_dir)
     res = _crawl_for(cdir)
     return (
         res.downloads.to_pandas()
-        .sort_values(["url", "attempt"])
+        .sort_values(["url", "attempt"], kind="mergesort")
         .reset_index(drop=True)
     )
 
 
+CRAWL_DOWNLOADS_SQL = f"""
+SELECT url, depth, attempt, ok, bytes, filename, epoch
+FROM read_parquet('{SF001_DIR}/oracle_downloads.parquet')
+ORDER BY url, attempt
+"""
+
+
 def media_features_query(sf_dir: str) -> pd.DataFrame:
+    """Multimodal decode/featurize over the corpus pages. Returns the
+    scalar columns (the float feature vector itself can't round-trip a SQL
+    value-hash; feat_crc is its exact integer checksum)."""
     from .multimodal import media_features
 
-    return media_features(corpus_for(sf_dir))
+    out = media_features(corpus_for(sf_dir))
+    return out[["url", "n_bytes", "format", "width", "height", "feat_crc"]]
+
+
+MEDIA_FEATURES_SQL = f"""
+SELECT url, n_bytes, format, width, height, feat_crc
+FROM read_parquet('{SF001_DIR}/oracle_media.parquet') ORDER BY url
+"""

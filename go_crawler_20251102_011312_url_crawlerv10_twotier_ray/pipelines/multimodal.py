@@ -27,9 +27,25 @@ MEDIA_SCHEMA = pa.schema(
         ("format", pa.string()),
         ("width", pa.int32()),
         ("height", pa.int32()),
+        ("feat_crc", pa.int64()),
         ("features", pa.list_(pa.float32())),
     ]
 )
+
+
+def fake_decode(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
+    """Deterministic stand-in decode: (format, width, height, feat_crc,
+    features). feat_crc is an exact int64 checksum of the feature source
+    words — the value-hashable scalar the driver oracle compares (float
+    features can't round-trip through SQL exactly)."""
+    d = hashlib.shake_256(payload).digest(FEATURE_DIM * 4 + 8)
+    width = 64 + d[0] % 192
+    height = 64 + d[1] % 192
+    fmt = ("jpeg", "png", "webp")[d[2] % 3]
+    words = np.frombuffer(d[8:], dtype=np.uint32)
+    feats = words.astype(np.float32) / np.float32(2**32)
+    crc = int(words.astype(np.uint64).sum())
+    return fmt, width, height, crc, feats
 
 
 def _real_decode_available() -> bool:
@@ -59,27 +75,17 @@ class DecodeAndFeaturize:
                 "run with strict_real=False for the deterministic stub"
             )
 
-    def _fake_decode(self, payload: bytes) -> tuple[str, int, int, np.ndarray]:
-        d = hashlib.shake_256(payload).digest(FEATURE_DIM * 4 + 8)
-        width = 64 + d[0] % 192
-        height = 64 + d[1] % 192
-        fmt = ("jpeg", "png", "webp")[d[2] % 3]
-        feats = (
-            np.frombuffer(d[8:], dtype=np.uint32).astype(np.float32)
-            / np.float32(2**32)
-        )
-        return fmt, width, height, feats
-
     def __call__(self, t: pa.Table) -> pa.Table:
         urls = t["url"].to_pylist()
         payloads = t["html"].to_pylist()
-        fmts, ws, hs, feats = [], [], [], []
+        fmts, ws, hs, crcs, feats = [], [], [], [], []
         for p in payloads:
             p = p or b""
-            f, w, h, v = self._fake_decode(p)
+            f, w, h, c, v = fake_decode(p)
             fmts.append(f)
             ws.append(w)
             hs.append(h)
+            crcs.append(c)
             feats.append(v.tolist())
         return pa.table(
             {
@@ -88,6 +94,7 @@ class DecodeAndFeaturize:
                 "format": pa.array(fmts, pa.string()),
                 "width": pa.array(ws, pa.int32()),
                 "height": pa.array(hs, pa.int32()),
+                "feat_crc": pa.array(crcs, pa.int64()),
                 "features": pa.array(feats, pa.list_(pa.float32())),
             }
         )
