@@ -141,6 +141,20 @@ def run_bench() -> dict:
     extra["crawl_pages_fetched"] = res.pages_fetched
     extra["crawl_epochs"] = res.n_epochs
 
+    # --- join fetch mode (the declared 100 TB path: no process holds the
+    # corpus), one steady epoch over every bench-corpus URL ---
+    import pyarrow.parquet as _pq
+
+    all_urls = _pq.read_table(pages_dir, columns=["url"])["url"].to_pylist()
+    t0 = time.perf_counter()
+    jres = run_crawl(corpus_dir, CrawlConfig(record_order=False,
+                                             fetch_mode="join"),
+                     seeds=all_urls, max_epochs=1, collect=False)
+    queries["crawl_join_steady"] = round(time.perf_counter() - t0, 3)
+    extra["crawl_join_urls_per_sec"] = round(
+        jres.counters["scheduled_total"] / queries["crawl_join_steady"], 1
+    )
+
     # --- generic operator surface over $GRAFT_SF_DIR ---
     for name, fn in [
         ("q1_pricing_summary", relational.q1_pricing_summary),
@@ -247,6 +261,9 @@ def run_steady() -> dict:
 
     # best-of-N trials: single-box runs are noisy (page cache, plasma,
     # sibling processes); min is the honest estimate of achievable time
+    # record_order=False + collect=False + no checkpoint → the crawl auto-
+    # selects frontier_mode="dataset": the frontier stays a Dataset end to
+    # end and the driver holds only counters
     steady_trials = []
     for _ in range(2):
         t0 = time.perf_counter()
@@ -255,6 +272,7 @@ def run_steady() -> dict:
                         max_epochs=1, collect=False, corpus_ref=corpus_ref)
         steady_trials.append(time.perf_counter() - t0)
     steady_sec = round(min(steady_trials), 3)
+    n_steady_urls = res.counters["scheduled_total"]
 
     extract_trials = []
     for _ in range(3):
@@ -267,8 +285,8 @@ def run_steady() -> dict:
 
     out = {
         "steady_sec": steady_sec,
-        "steady_urls": res.order.num_rows,
-        "steady_urls_per_sec": round(res.order.num_rows / steady_sec, 1),
+        "steady_urls": n_steady_urls,
+        "steady_urls_per_sec": round(n_steady_urls / steady_sec, 1),
         "extract_sec": extract_sec,
         "extract_pages_per_sec": round(n / extract_sec, 1),
         "num_cpus": NCPU,

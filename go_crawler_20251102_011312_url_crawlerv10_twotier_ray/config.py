@@ -37,6 +37,11 @@ class CrawlConfig:
     respect_robots: bool = False
     # reference config/config.go:35 (MaxRetries = 3) — download retry cap.
     max_retries: int = 3
+    # T5 — deterministic analogue of the reference's GLOBAL download rate
+    # limiter (downloader.go:82: rate.NewLimiter(Every(10µs), 2400)): at
+    # most this many download ATTEMPTS per epoch; over-budget tasks carry
+    # to the next epoch's priority retry lane unchanged. 0 = unlimited.
+    download_budget_per_epoch: int = 0
 
     # ---- engine execution knobs (no reference analogue) ----
     # number of URL-seen shard actors (hash-partitioned on url_norm)
@@ -56,8 +61,21 @@ class CrawlConfig:
     # distributed Dataset ops (groupby(host).map_groups + sort) instead of
     # driver-side pandas; semantics identical (tested with threshold=0)
     frontier_distributed_threshold: int = 200_000
+    # frontier representation: "driver" keeps the frontier as a pandas
+    # DataFrame on the driver (deterministic rank trace, checkpointing);
+    # "dataset" keeps it as a ray.data.Dataset END-TO-END — drain refs →
+    # from_arrow_refs → next epoch's fetch, driver RSS flat at any
+    # frontier size (no order trace; no checkpoint support). "auto" picks
+    # dataset for the steady/scale shape (collect=False, record_order=False,
+    # no checkpoint)
+    frontier_mode: str = "auto"
     # checkpoint directory; None disables checkpointing
     checkpoint_dir: str | None = None
+    # T7 — live metrics actor (reference monitor.go:110-196 analogue):
+    # when True, run_crawl pushes per-epoch gauges to the named
+    # CrawlMetrics actor (state/metrics.py) and attaches its snapshot to
+    # CrawlRunResult.counters["metrics"]
+    live_metrics: bool = False
 
 
 DEFAULT_CONFIG = CrawlConfig()

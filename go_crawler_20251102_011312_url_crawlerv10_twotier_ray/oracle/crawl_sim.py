@@ -195,11 +195,16 @@ def crawl(
             new_frontier.append((0, raw, depth))
 
         # downloads (simulated): retry lane first (priority), then new
-        # tasks; each group in url order (T8, downloader.go:122-145)
+        # tasks; each group in url order (T8, downloader.go:122-145).
+        # T5: the global per-epoch download budget defers the tail of the
+        # work list to the next epoch unchanged (downloader.go:82 analogue)
         work = sorted(pending_retry) + [
             (u, d, 0) for u, d in sorted(epoch_docs)
         ]
         pending_retry = []
+        if cfg.download_budget_per_epoch > 0:
+            pending_retry = work[cfg.download_budget_per_epoch:]
+            work = work[: cfg.download_budget_per_epoch]
         for doc_url, depth, attempt in work:
             fk = fetch_key(doc_url)
             body = corpus.get(fk) if fk is not None else None

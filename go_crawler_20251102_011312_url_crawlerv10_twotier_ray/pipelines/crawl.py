@@ -55,7 +55,7 @@ from ..stages.fetch import (
     FetchAndExtract,
     add_fetch_key,
 )
-from ..stages.seen import ShardedSeen
+from ..stages.seen import ShardedSeen, wait_offers_received
 from ..stages.seen import assemble_drain as _assemble_drain
 from ..state import checkpoint as ckpt
 
@@ -214,25 +214,25 @@ def _mark_revisits(
 
 
 def _accepted_to_table(accepted: pa.Table) -> pa.Table | None:
-    """Vectorized: the drain table is (url_norm, "%09d\x1furl" key) already
-    sorted by norm; split key and derive host from the normalized form with
-    pandas C string kernels (no per-row URL re-parse)."""
+    """Pure-Arrow split of the drain table (url_norm, "%09d\x1furl" key):
+    the depth prefix is fixed-width so slice+cast does it, and the host
+    comes from one C regex pass over the normalized URL. This runs on the
+    DRIVER once per epoch over every accepted candidate — at 700k rows the
+    old pandas str.split chain was ~3 s of single-threaded fixed cost that
+    capped scaling; the Arrow kernels do it in ~0.2 s."""
+    import pyarrow.compute as pc
+
     if accepted.num_rows == 0:
         return None
-    df = accepted.to_pandas()
-    parts = df["key"].str.split("\x1f", n=1, expand=True)
-    depth = parts[0].astype("int32")
-    url = parts[1]
-    host = (
-        df["url_norm"].str.split("://", n=1).str[-1].str.split("/", n=1).str[0]
+    norms = accepted["url_norm"].combine_chunks()
+    keys = accepted["key"].combine_chunks()
+    depth = pc.utf8_slice_codeunits(keys, 0, 9).cast(pa.int32())
+    url = pc.utf8_slice_codeunits(keys, 10, 2**30)
+    host = pc.struct_field(
+        pc.extract_regex(norms, r"^[^:/?#]+://(?P<h>[^/?#]*)"), "h"
     )
     return pa.table(
-        {
-            "url": pa.array(url, pa.string()),
-            "url_norm": pa.array(df["url_norm"], pa.string()),
-            "host": pa.array(host, pa.string()),
-            "depth": pa.array(depth, pa.int32()),
-        }
+        {"url": url, "url_norm": norms, "host": host, "depth": depth}
     )
 
 
@@ -292,6 +292,7 @@ def run_crawl(
     resume: bool = False,
     collect: bool = True,
     corpus_ref=None,
+    seen_sink: str | None = None,
 ) -> CrawlRunResult:
     """Run the full crawl over a corpus directory (pages/seeds/politeness
     parquet as written by corpus.write_corpus). Ray must already be
@@ -331,10 +332,35 @@ def run_crawl(
         t = pq.read_table(pages_path, columns=["url", "html"]).combine_chunks()
         corpus_ref = ray.put(t)
 
+    # dataset-frontier dispatch: the steady/scale loop keeps the frontier
+    # distributed end-to-end (no driver materialization of candidates)
+    want_dataset = cfg.frontier_mode == "dataset" or (
+        cfg.frontier_mode == "auto" and not collect and not cfg.record_order
+        and cfg.checkpoint_dir is None and not resume
+    )
+    if want_dataset:
+        if collect or cfg.record_order or cfg.checkpoint_dir or resume:
+            raise ValueError(
+                "frontier_mode='dataset' supports neither collect, the "
+                "rank trace, nor checkpoints — use frontier_mode='driver'"
+            )
+        return _run_crawl_dataset_frontier(
+            corpus_dir, cfg, seeds, host_budgets, robots_disallow,
+            max_epochs, corpus_ref, mode, seen_sink=seen_sink,
+        )
+
     n_shards = cfg.seen_shards
     if n_shards <= 0:
         n_shards = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
     seen = ShardedSeen(n_shards)
+    offers_expected = 0  # cumulative fence target for fire-and-forget offers
+    metrics = None
+    if cfg.live_metrics:
+        from ..state.metrics import get_or_create_metrics
+
+        metrics = get_or_create_metrics(
+            echo=bool(os.environ.get("GRAFT_CRAWL_DEBUG"))
+        )
     dispatched_seed_raws: set[str] = set()
     # T8 retry lane (downloader.go:153-179): failed download tasks re-queue
     # for the next epoch with priority, up to cfg.max_retries attempts
@@ -402,8 +428,9 @@ def run_crawl(
 
     def _tick(label, t0):
         if debug:
-            print(f"[crawl e{epoch}] {label}: {_time.perf_counter()-t0:.2f}s",
-                  file=_sys.stderr)
+            print(f"[crawl e{epoch}] {label}: {_time.perf_counter()-t0:.2f}s"
+                  f" at {_time.time():.3f}",
+                  file=_sys.stderr, flush=True)
         return _time.perf_counter()
 
     epoch = start_epoch
@@ -492,38 +519,82 @@ def run_crawl(
                 )
             _t = _tick("schedule", _t)
             # materialize barriers the epoch: every fetch task has extracted
-            # AND pushed its candidate offers before the drain below
+            # AND submitted its candidate offers (fire-and-forget) before
+            # the fence below
             if fetched is not None:
                 fetched = fetched.materialize()
             _t = _tick("fetch+extract+offer", _t)
 
-            # kick off the shard drains asynchronously; the documents
-            # section below runs while shards serialize their results
+            # --- documents explode (+ offer/ok accounting) ---
+            # collect=True (test/bench scale): one driver-side pass over
+            # the already-collected batch; collect=False (steady/100 TB):
+            # ONE pipeline whose stat rows carry the per-batch counters.
+            ext_tbl = None
+            epoch_offers = 0
+            epoch_ok = 0
+            docs = None
+            if fetched is not None:
+                if collect:
+                    ext_tbl = _collect(fetched) or FETCHED_SCHEMA.empty_table()
+                    epoch_offers = int(
+                        pa.compute.sum(ext_tbl["offers_sent"]).as_py() or 0
+                    )
+                    epoch_ok = int(
+                        pa.compute.sum(ext_tbl["ok"]).as_py() or 0
+                    )
+                    docs = explode_documents(ext_tbl)
+                else:
+                    combined = _collect(
+                        fetched.map_batches(_explode_and_count,
+                                            batch_format="pyarrow")
+                    )
+                    if combined is not None:
+                        import pyarrow.compute as _pc
+
+                        stat_mask = _pc.is_null(combined["url"])
+                        stats = combined.filter(stat_mask)
+                        epoch_ok = int(_pc.sum(stats["ok_n"]).as_py() or 0)
+                        res.pages_fetched += epoch_ok
+                        epoch_offers = int(
+                            _pc.sum(stats["offers"]).as_py() or 0
+                        )
+                        docs = combined.filter(
+                            _pc.invert(stat_mask)
+                        ).drop_columns(["n", "ok_n", "offers"])
+            _t = _tick("documents-explode", _t)
+
+            # fence the offer stream, then drain the shards; the drains run
+            # while the download section below executes
+            offers_expected += epoch_offers
+            wait_offers_received(seen.handles(), "norm", offers_expected)
             drain_refs = [
                 sh.drain_epoch.remote("norm") for sh in seen.handles()
             ]
-            _t = _tick("drain-submit", _t)
+            _t = _tick("offer-fence+drain-submit", _t)
 
             # --- documents -> cross-epoch dedup -> simulated download ---
             # (retry lane first with priority, then new tasks — T8)
             new_tasks: list[tuple[str, int, int]] = []
-            if fetched is not None:
-                docs = _collect(fetched.map_batches(explode_documents,
-                                                    batch_format="pyarrow"))
-                if docs is not None and docs.num_rows:
-                    ddf = docs.to_pandas().sort_values(
-                        ["p_priority", "p_host", "p_norm", "p_url"],
-                        ascending=[False, True, True, True],
-                        kind="mergesort",
-                    ).drop_duplicates("url", keep="first")
-                    new_mask = seen.check_and_add("doc", ddf["url"].tolist())
-                    ddf = ddf[new_mask]
-                    new_tasks = [
-                        (u, int(d), 0)
-                        for u, d in sorted(zip(ddf["url"], ddf["depth"]))
-                    ]
+            if docs is not None and docs.num_rows:
+                ddf = docs.to_pandas().sort_values(
+                    ["p_priority", "p_host", "p_norm", "p_url"],
+                    ascending=[False, True, True, True],
+                    kind="mergesort",
+                ).drop_duplicates("url", keep="first")
+                new_mask = seen.check_and_add("doc", ddf["url"].tolist())
+                ddf = ddf[new_mask]
+                new_tasks = [
+                    (u, int(d), 0)
+                    for u, d in sorted(zip(ddf["url"], ddf["depth"]))
+                ]
             work = sorted(pending_retry) + new_tasks
             pending_retry = []
+            if cfg.download_budget_per_epoch > 0:
+                # T5 global limiter (downloader.go:82 analogue): the over-
+                # budget tail carries to the next epoch's priority lane
+                # unchanged — shared spec with oracle/crawl_sim.py
+                pending_retry = work[cfg.download_budget_per_epoch:]
+                work = work[: cfg.download_budget_per_epoch]
             dl_tbl = _empty_downloads(epoch)
             if work:
                 d_tbl = pa.table(
@@ -545,11 +616,12 @@ def run_crawl(
                     ddl = dl_out.to_pandas().sort_values(
                         ["url", "attempt"], kind="mergesort"
                     )
-                    for _, r in ddl[~ddl["ok"]].iterrows():
-                        if r["attempt"] < cfg.max_retries:
-                            pending_retry.append(
-                                (r["url"], int(r["depth"]), int(r["attempt"]) + 1)
-                            )
+                    failed = ddl[~ddl["ok"] & (ddl["attempt"] < cfg.max_retries)]
+                    pending_retry.extend(
+                        (u, int(d), int(a) + 1)
+                        for u, d, a in zip(failed["url"], failed["depth"],
+                                           failed["attempt"])
+                    )
                     dl_tbl = pa.Table.from_pandas(
                         ddl, preserve_index=False
                     ).append_column(
@@ -561,9 +633,8 @@ def run_crawl(
             survivors = _accepted_to_table(accepted)
             _t = _tick("drain-assemble", _t)
             if collect:
-                ext_tbl = (
-                    _collect(fetched) if fetched is not None else None
-                ) or FETCHED_SCHEMA.empty_table()
+                if ext_tbl is None:
+                    ext_tbl = FETCHED_SCHEMA.empty_table()
                 ext_tbl = ext_tbl.append_column(
                     "epoch", pa.array([epoch] * ext_tbl.num_rows, pa.int32())
                 )
@@ -573,50 +644,63 @@ def run_crawl(
                 )
             else:
                 ext_tbl = None
-                if fetched is not None:
-                    if cfg.checkpoint_dir:
-                        # distributed sink: per-epoch partition dir
-                        fetched.write_parquet(
-                            os.path.join(
-                                cfg.checkpoint_dir, f"epoch={epoch}", "extracted"
-                            )
-                        )
-                    counts = _collect(
-                        fetched.map_batches(
-                            lambda t: pa.table(
-                                {"n": pa.array([t.num_rows], pa.int64()),
-                                 "ok": pa.array(
-                                     [int(pa.compute.sum(t["ok"]).as_py() or 0)],
-                                     pa.int64())}
-                            ),
-                            batch_format="pyarrow",
+                if fetched is not None and cfg.checkpoint_dir:
+                    # distributed sink: per-epoch partition dir
+                    fetched.write_parquet(
+                        os.path.join(
+                            cfg.checkpoint_dir, f"epoch={epoch}", "extracted"
                         )
                     )
-                    if counts is not None:
-                        res.pages_fetched += int(
-                            pa.compute.sum(counts["ok"]).as_py() or 0
-                        )
+                # (pages_fetched was tallied from the explode pipeline's
+                # stat rows above — no separate counts pipeline)
             acc["order"].append(order_tbl)
             acc["downloads"].append(dl_tbl)
 
             if survivors is not None and survivors.num_rows:
-                # accepted pairs are already norm-sorted (drain sorts)
+                # accepted pairs are norm-sorted (assemble_drain sorts)
                 sdf = survivors.to_pandas()
+                seen_delta = pa.table(  # zero-copy column reuse
+                    {
+                        "url_norm": survivors["url_norm"],
+                        "first_depth": survivors["depth"],
+                        "url": survivors["url"],
+                        "epoch": pa.array(
+                            np.full(survivors.num_rows, epoch, np.int32)
+                        ),
+                    }
+                )
             else:
                 sdf = pd.DataFrame(columns=["url", "url_norm", "host", "depth"])
-            seen_delta = pa.table(
-                {
-                    "url_norm": pa.array(sdf["url_norm"], pa.string()),
-                    "first_depth": pa.array(sdf["depth"], pa.int32()),
-                    "url": pa.array(sdf["url"], pa.string()),
-                    "epoch": pa.array([epoch] * len(sdf), pa.int32()),
-                }
-            )
+                seen_delta = pa.table(
+                    {
+                        "url_norm": pa.array([], pa.string()),
+                        "first_depth": pa.array([], pa.int32()),
+                        "url": pa.array([], pa.string()),
+                        "epoch": pa.array([], pa.int32()),
+                    }
+                )
             acc["seen"].append(seen_delta)
 
             new_frontier = sdf.assign(priority=0)[FRONTIER_COLS] if len(sdf) else \
                 pd.DataFrame(columns=FRONTIER_COLS)
             next_frontier = pd.concat([deferred, new_frontier], ignore_index=True)
+
+            if metrics is not None:
+                n_dl_ok = int(pa.compute.sum(dl_tbl["ok"]).as_py() or 0)
+                metrics.record_epoch.remote(  # fire-and-forget gauge push
+                    {
+                        "epoch": epoch,
+                        "scheduled": len(scheduled),
+                        "fetched_ok": epoch_ok,
+                        "fetch_err": len(scheduled) - epoch_ok,
+                        "docs_queued": len(new_tasks),
+                        "downloads_ok": n_dl_ok,
+                        "download_err": dl_tbl.num_rows - n_dl_ok,
+                        "retries_pending": len(pending_retry),
+                        "seen_total": seen.total("norm"),
+                        "frontier_next": len(next_frontier),
+                    }
+                )
 
             if cfg.checkpoint_dir:
                 ckpt_tables = {
@@ -667,6 +751,8 @@ def run_crawl(
 
     # --- assemble result tables ---
     ext_all = pa.concat_tables(acc["extracted"]) if acc["extracted"] else None
+    if ext_all is not None and "offers_sent" in ext_all.column_names:
+        ext_all = ext_all.drop_columns(["offers_sent"])  # fence-internal
     res.extracted = (
         ext_all.filter(pa.compute.equal(ext_all["status"], 200))
         if ext_all is not None else None
@@ -685,7 +771,373 @@ def run_crawl(
         "pages_fetched": res.pages_fetched,
         "seen": res.seen.num_rows if res.seen is not None else 0,
     }
+    if metrics is not None:
+        res.counters["metrics"] = ray.get(metrics.snapshot.remote())
     return res
+
+
+FRONTIER_ARROW_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("url_norm", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.int32()),
+    ]
+)
+
+
+def _cast_frontier(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            f.name: t[f.name].cast(f.type)
+            for f in FRONTIER_ARROW_SCHEMA
+        }
+    )
+
+
+class MarkRevisitsInTask:
+    """Dataset-frontier revisit marking (T2) without any driver pass: only
+    SEED raws can ever repeat (pipelines/crawl._mark_revisits proof), so
+    each batch asks the seen shards' atomic ``raw`` check-and-add for just
+    its seed rows — first dispatch wins globally, exactly colly's internal
+    revisit filter."""
+
+    def __init__(self, seed_ref, seen_handles: list):
+        self.seed_ref = seed_ref
+        self.seen_handles = seen_handles
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.fetch import cached_broadcast
+        from ..stages.seen import check_and_add_batch
+
+        seeds = cached_broadcast(self.seed_ref)
+        mask = pc.is_in(t["url"], value_set=seeds).to_numpy(
+            zero_copy_only=False
+        )
+        revisit = np.zeros(t.num_rows, dtype=bool)
+        idx = np.nonzero(mask)[0]
+        if len(idx):
+            urls = pc.array_take(
+                t["url"].combine_chunks(), pa.array(idx)
+            ).to_pylist()
+            fresh = check_and_add_batch(self.seen_handles, "raw", urls)
+            revisit[idx] = ~fresh
+        return t.append_column("revisit", pa.array(revisit))
+
+
+def _run_crawl_dataset_frontier(
+    corpus_dir: str,
+    cfg: CrawlConfig,
+    seeds: list[str],
+    host_budgets: dict[str, int],
+    robots_disallow: dict[str, list[str]],
+    max_epochs: int | None,
+    corpus_ref,
+    mode: str,
+    seen_sink: str | None = None,
+) -> CrawlRunResult:
+    """The 100 TB steady loop: the frontier is a ``ray.data.Dataset`` from
+    seed to sink. Per epoch: (budget map_groups →) in-task revisit marking
+    → fused fetch+extract+offer → offer fence → per-shard drain TABLE refs
+    → ``from_arrow_refs`` → pure-Arrow key split → next frontier. Accepted
+    candidates never pass through the driver; driver state is counters,
+    the retry lane and the (tiny) seed set. No rank trace, no checkpoint
+    (use frontier_mode="driver" for those)."""
+    import uuid
+
+    import pyarrow.compute as pc
+
+    pages_path = os.path.join(corpus_dir, "pages")
+    n_shards = cfg.seen_shards
+    if n_shards <= 0:
+        n_shards = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    seen = ShardedSeen(n_shards)
+    metrics = None
+    if cfg.live_metrics:
+        from ..state.metrics import get_or_create_metrics
+
+        metrics = get_or_create_metrics(
+            echo=bool(os.environ.get("GRAFT_CRAWL_DEBUG"))
+        )
+    offers_expected = 0
+    res = CrawlRunResult()
+    dl_acc: list[pa.Table] = []
+    pending_retry: list[tuple[str, int, int]] = []
+
+    seed_df = _seed_frontier(seeds)
+    seed_ref = ray.put(pa.array(sorted(set(seed_df["url"])), pa.string()))
+    frontier_ds = rd.from_arrow(
+        _cast_frontier(pa.Table.from_pandas(seed_df, preserve_index=False))
+    ) if len(seed_df) else None
+    frontier_count = len(seed_df)
+    default_budget = cfg.default_host_budget
+    budgets_on = bool(host_budgets) or default_budget > 0
+
+    def mark_budget(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["priority", "url_norm", "url"],
+            ascending=[False, True, True], kind="mergesort",
+        )
+        b = host_budgets.get(g["host"].iloc[0], default_budget)
+        g = g.copy()
+        g["sched"] = True if b <= 0 else (np.arange(len(g)) < b)
+        return g
+
+    epoch = 0
+    scheduled_total = 0
+    try:
+        while frontier_count > 0 or pending_retry:
+            if max_epochs is not None and epoch >= max_epochs:
+                break
+            deferred_ds = None
+            deferred_count = 0
+            fetched = None
+            if frontier_count > 0:
+                # one parquet-table/from_arrow frontier = ONE block = one
+                # serial fetch task (round-1 lesson): spread the epoch's
+                # rows so fetch parallelism matches the CPU budget
+                n_cpu = int(ray.cluster_resources().get("CPU", 8))
+                n_blocks = max(1, min(
+                    max(32, 2 * n_cpu),
+                    (frontier_count + cfg.extract_batch_size - 1)
+                    // cfg.extract_batch_size,
+                ))
+                sched_ds = frontier_ds.repartition(n_blocks)
+                if budgets_on:
+                    marked = sched_ds.groupby("host").map_groups(
+                        mark_budget, batch_format="pandas"
+                    ).materialize()
+                    sched_ds = marked.filter(expr="sched == True").map_batches(
+                        lambda t: _cast_frontier(t), batch_format="pyarrow"
+                    )
+                    deferred_ds = (
+                        marked.filter(expr="sched == False")
+                        .map_batches(
+                            lambda t: _cast_frontier(
+                                t.set_column(
+                                    t.schema.get_field_index("priority"),
+                                    "priority",
+                                    pa.array(
+                                        np.ones(t.num_rows, np.int32)
+                                    ),
+                                )
+                            ),
+                            batch_format="pyarrow",
+                        )
+                        .materialize()
+                    )
+                    deferred_count = deferred_ds.count()
+                sched_ds = sched_ds.map_batches(
+                    MarkRevisitsInTask(seed_ref, seen.handles()),
+                    batch_format="pyarrow",
+                )
+                epoch_token = f"{uuid.uuid4().hex[:8]}-{epoch}"
+                if mode == "broadcast":
+                    fetched = sched_ds.map_batches(
+                        FetchAndExtract(cfg, corpus_ref, seen.handles(),
+                                        robots_disallow, epoch_token),
+                        batch_format="pyarrow",
+                        batch_size=cfg.extract_batch_size,
+                    ).materialize()
+                else:
+                    from ..sources.pages import read_pages
+
+                    marked2 = sched_ds.map_batches(
+                        add_fetch_key, batch_format="pyarrow",
+                        batch_size=cfg.extract_batch_size,
+                    )
+                    pages_ds = read_pages(
+                        pages_path, columns=["url", "html"]
+                    ).map_batches(
+                        lambda t: t.rename_columns(["fetch_key", "html"]),
+                        batch_format="pyarrow",
+                    )
+                    joined = marked2.join(
+                        pages_ds, join_type="left_outer",
+                        num_partitions=max(
+                            2, int(ray.cluster_resources().get("CPU", 8))
+                        ),
+                        on=("fetch_key",),
+                    )
+                    fetched = joined.map_batches(
+                        ExtractJoined(cfg, seen.handles(), robots_disallow,
+                                      epoch_token),
+                        batch_format="pyarrow",
+                        batch_size=cfg.extract_batch_size,
+                    ).materialize()
+
+            # explode + counters (one pipeline), then fence + drain refs
+            epoch_ok = 0
+            epoch_offers = 0
+            epoch_sched = 0
+            docs = None
+            if fetched is not None:
+                combined = _collect(
+                    fetched.map_batches(_explode_and_count,
+                                        batch_format="pyarrow")
+                )
+                if combined is not None:
+                    stat_mask = pc.is_null(combined["url"])
+                    stats = combined.filter(stat_mask)
+                    epoch_ok = int(pc.sum(stats["ok_n"]).as_py() or 0)
+                    epoch_sched = int(pc.sum(stats["n"]).as_py() or 0)
+                    epoch_offers = int(pc.sum(stats["offers"]).as_py() or 0)
+                    docs = combined.filter(pc.invert(stat_mask)).drop_columns(
+                        ["n", "ok_n", "offers"]
+                    )
+            res.pages_fetched += epoch_ok
+            scheduled_total += epoch_sched
+            offers_expected += epoch_offers
+            wait_offers_received(seen.handles(), "norm", offers_expected)
+            drain_refs = [
+                sh.drain_epoch_table.remote("norm") for sh in seen.handles()
+            ]
+
+            # downloads (same deterministic lane as the driver loop)
+            new_tasks: list[tuple[str, int, int]] = []
+            if docs is not None and docs.num_rows:
+                ddf = docs.to_pandas().sort_values(
+                    ["p_priority", "p_host", "p_norm", "p_url"],
+                    ascending=[False, True, True, True], kind="mergesort",
+                ).drop_duplicates("url", keep="first")
+                new_mask = seen.check_and_add("doc", ddf["url"].tolist())
+                ddf = ddf[new_mask]
+                new_tasks = [
+                    (u, int(d), 0)
+                    for u, d in sorted(zip(ddf["url"], ddf["depth"]))
+                ]
+            work = sorted(pending_retry) + new_tasks
+            pending_retry = []
+            if cfg.download_budget_per_epoch > 0:
+                pending_retry = work[cfg.download_budget_per_epoch:]
+                work = work[: cfg.download_budget_per_epoch]
+            dl_tbl = _empty_downloads(epoch)
+            if work:
+                d_tbl = pa.table(
+                    {
+                        "url": pa.array([w[0] for w in work], pa.string()),
+                        "depth": pa.array([w[1] for w in work], pa.int32()),
+                        "attempt": pa.array([w[2] for w in work], pa.int32()),
+                    }
+                )
+                if mode == "broadcast":
+                    dl_out = _collect(
+                        rd.from_arrow(d_tbl).map_batches(
+                            DownloadSim(cfg, corpus_ref),
+                            batch_format="pyarrow",
+                        )
+                    )
+                else:
+                    dl_out = _download_join(d_tbl, pages_path, cfg)
+                if dl_out is not None:
+                    ddl = dl_out.to_pandas().sort_values(
+                        ["url", "attempt"], kind="mergesort"
+                    )
+                    failed = ddl[~ddl["ok"] & (ddl["attempt"] < cfg.max_retries)]
+                    pending_retry.extend(
+                        (u, int(d), int(a) + 1)
+                        for u, d, a in zip(failed["url"], failed["depth"],
+                                           failed["attempt"])
+                    )
+                    dl_tbl = pa.Table.from_pandas(
+                        ddl, preserve_index=False
+                    ).append_column(
+                        "epoch", pa.array([epoch] * len(ddl), pa.int32())
+                    )
+            dl_acc.append(dl_tbl)
+
+            # next frontier: drain tables → Dataset, key split in tasks
+            surv_ds = rd.from_arrow_refs(drain_refs).map_batches(
+                _drained_to_frontier, batch_format="pyarrow"
+            ).materialize()
+            n_new = surv_ds.count()
+            if seen_sink is not None and n_new:
+                # distributed partitioned sink for the seen/frontier log
+                # (one dir per epoch — the resumable-output layout)
+                surv_ds.write_parquet(
+                    os.path.join(seen_sink, f"epoch={epoch}")
+                )
+            if deferred_ds is not None and deferred_count:
+                frontier_ds = deferred_ds.union(surv_ds).materialize()
+            else:
+                frontier_ds = surv_ds
+            frontier_count = n_new + deferred_count
+
+            if metrics is not None:
+                n_dl_ok = int(pa.compute.sum(dl_tbl["ok"]).as_py() or 0)
+                metrics.record_epoch.remote(
+                    {
+                        "epoch": epoch,
+                        "scheduled": epoch_sched,
+                        "fetched_ok": epoch_ok,
+                        "fetch_err": epoch_sched - epoch_ok,
+                        "docs_queued": len(new_tasks),
+                        "downloads_ok": n_dl_ok,
+                        "download_err": dl_tbl.num_rows - n_dl_ok,
+                        "retries_pending": len(pending_retry),
+                        "seen_total": seen.total("norm"),
+                        "frontier_next": frontier_count,
+                    }
+                )
+            epoch += 1
+    finally:
+        seen.kill()
+
+    res.downloads = pa.concat_tables(dl_acc) if dl_acc else None
+    res.n_epochs = epoch
+    res.counters = {
+        "epochs": epoch,
+        "pages_fetched": res.pages_fetched,
+        "scheduled_total": scheduled_total,
+        "seen": None,  # stays sharded/distributed in this mode
+    }
+    if metrics is not None:
+        res.counters["metrics"] = ray.get(metrics.snapshot.remote())
+    return res
+
+
+def _drained_to_frontier(t: pa.Table) -> pa.Table:
+    """(url_norm, key) drain rows -> frontier rows (priority 0), using the
+    same pure-Arrow split as _accepted_to_table."""
+    out = _accepted_to_table(t)
+    if out is None:
+        return FRONTIER_ARROW_SCHEMA.empty_table()
+    return out.append_column(
+        "priority", pa.array(np.zeros(out.num_rows, np.int32))
+    )
+
+
+def _explode_and_count(batch: pa.Table) -> pa.Table:
+    """explode_documents plus one stat row (url=null) carrying the batch's
+    row/ok counters — fuses the collect=False counts pipeline into the
+    documents pipeline (one fewer per-epoch pipeline launch)."""
+    docs = explode_documents(batch)
+    n = docs.num_rows
+    docs = docs.append_column("n", pa.array([0] * n, pa.int64()))
+    docs = docs.append_column("ok_n", pa.array([0] * n, pa.int64()))
+    docs = docs.append_column("offers", pa.array([0] * n, pa.int64()))
+    stat = pa.table(
+        {
+            "url": pa.array([None], pa.string()),
+            "depth": pa.array([0], pa.int32()),
+            "p_priority": pa.array([0], pa.int32()),
+            "p_host": pa.array([None], pa.string()),
+            "p_norm": pa.array([None], pa.string()),
+            "p_url": pa.array([None], pa.string()),
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "ok_n": pa.array(
+                [int(pa.compute.sum(batch["ok"]).as_py() or 0)], pa.int64()
+            ),
+            "offers": pa.array(
+                [int(pa.compute.sum(batch["offers_sent"]).as_py() or 0)],
+                pa.int64(),
+            ),
+        }
+    )
+    return pa.concat_tables([docs, stat])
 
 
 def _empty_downloads(epoch: int) -> pa.Table:

@@ -42,6 +42,24 @@ DOC_CANDIDATE_SCHEMA = pa.schema(
 )
 
 
+# per-worker-process normalization memo: hub/nav links repeat massively
+# across pages (a 400-fanout hub is discovered by every page on its host),
+# so one urlsplit per DISTINCT link replaces one per occurrence
+_NORM_CACHE: dict[str, str | None] = {}
+
+
+def _norm_cached(link: str) -> str | None:
+    cache = _NORM_CACHE
+    if len(cache) > 2_000_000:
+        cache.clear()
+    try:
+        return cache[link]
+    except KeyError:
+        n = normalize_url(link)
+        cache[link] = n
+        return n
+
+
 class CandidateLinks:
     """extracted batch -> candidate rows (url, url_norm, host, depth)."""
 
@@ -59,7 +77,7 @@ class CandidateLinks:
                 continue
             child = depth + 1
             for link in links:
-                norm = normalize_url(link)
+                norm = _norm_cached(link)
                 if norm is None:
                     continue
                 cur = best.get(norm)
@@ -92,32 +110,37 @@ class CandidateLinks:
 
 
 def explode_documents(batch: pa.Table) -> pa.Table:
-    """extracted batch -> document-candidate rows with parent sort keys."""
-    urls, depths, prios, hosts, norms, purls = [], [], [], [], [], []
+    """extracted batch -> document-candidate rows with parent sort keys,
+    partially deduplicated WITHIN the batch: hot documents are linked from
+    many pages (every slow page links a PDF), so keeping only the best
+    candidate per doc URL — min((-p_priority, p_host, p_norm, p_url)),
+    exactly the comparator the driver's global dedup applies — shrinks the
+    collected doc set by orders of magnitude without changing the winner."""
+    best: dict[str, tuple] = {}
     docs_col = batch["documents"].to_pylist()
+    depths = batch["depth"].to_pylist()
+    prios = batch["priority"].to_pylist()
+    hosts = batch["host"].to_pylist()
+    norms = batch["url_norm"].to_pylist()
+    purls = batch["url"].to_pylist()
     for i in range(batch.num_rows):
         docs = docs_col[i]
         if not docs:
             continue
-        d = batch["depth"][i].as_py()
-        p = batch["priority"][i].as_py()
-        h = batch["host"][i].as_py()
-        nm = batch["url_norm"][i].as_py()
-        pu = batch["url"][i].as_py()
+        key = (-(prios[i] or 0), hosts[i], norms[i], purls[i])
         for doc in docs:
-            urls.append(doc["url"])
-            depths.append(d)
-            prios.append(p)
-            hosts.append(h)
-            norms.append(nm)
-            purls.append(pu)
+            u = doc["url"]
+            cur = best.get(u)
+            if cur is None or key < cur[0]:
+                best[u] = (key, depths[i])
+    urls = sorted(best)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
-            "depth": pa.array(depths, pa.int32()),
-            "p_priority": pa.array(prios, pa.int32()),
-            "p_host": pa.array(hosts, pa.string()),
-            "p_norm": pa.array(norms, pa.string()),
-            "p_url": pa.array(purls, pa.string()),
+            "depth": pa.array([best[u][1] for u in urls], pa.int32()),
+            "p_priority": pa.array([-best[u][0][0] for u in urls], pa.int32()),
+            "p_host": pa.array([best[u][0][1] for u in urls], pa.string()),
+            "p_norm": pa.array([best[u][0][2] for u in urls], pa.string()),
+            "p_url": pa.array([best[u][0][3] for u in urls], pa.string()),
         }
     )

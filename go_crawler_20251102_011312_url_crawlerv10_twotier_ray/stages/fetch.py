@@ -68,6 +68,9 @@ FETCHED_SCHEMA = pa.schema(
         ("doc_count", pa.int32()),
         ("text", pa.string()),
         ("parse_error", pa.bool_()),
+        # per-batch offer-entry count (first row of the batch carries it):
+        # the driver sums this to fence the fire-and-forget offer stream
+        ("offers_sent", pa.int64()),
     ]
 )
 
@@ -123,7 +126,17 @@ def build_fetched_table(
                 else ext[name],
                 take_idx,
             )
+    cols["offers_sent"] = pa.array([0] * n, pa.int64())
     return pa.table({f.name: cols[f.name] for f in FETCHED_SCHEMA})
+
+
+def _set_offers_sent(out: pa.Table, n_sent: int) -> pa.Table:
+    if out.num_rows == 0 or n_sent == 0:
+        return out
+    col = pa.array([n_sent] + [0] * (out.num_rows - 1), pa.int64())
+    return out.set_column(
+        out.schema.get_field_index("offers_sent"), "offers_sent", col
+    )
 
 
 # Per-worker-process cache for broadcast objects: a stateless map_batches
@@ -169,12 +182,14 @@ _OFFER_CACHE: dict[str, dict[str, str]] = {}
 
 
 def offer_candidates(out_tbl: pa.Table, cand_kernel: CandidateLinks,
-                     seen_handles: list, epoch_token: str = "") -> None:
+                     seen_handles: list, epoch_token: str = "") -> int:
     """Explode + partial-dedup the links of a fetched batch and push
-    (norm, min (depth,url) key) offers to the seen shards."""
+    (norm, min (depth,url) key) offers to the seen shards (fire-and-forget;
+    see offer_min_batch). Returns the number of offer entries sent — the
+    caller stamps it into the batch output so the driver can fence."""
     cand = cand_kernel(out_tbl)
     if not cand.num_rows:
-        return
+        return 0
     if len(_OFFER_CACHE) > 2:  # keep only the current + previous epoch
         for k in list(_OFFER_CACHE)[:-2]:
             del _OFFER_CACHE[k]
@@ -192,7 +207,8 @@ def offer_candidates(out_tbl: pa.Table, cand_kernel: CandidateLinks,
         norms_out.append(norm)
         keys_out.append(key)
     if norms_out:
-        offer_min_batch(seen_handles, "norm", norms_out, keys_out)
+        return offer_min_batch(seen_handles, "norm", norms_out, keys_out)
+    return 0
 
 
 class FetchAndExtract:
@@ -230,9 +246,9 @@ class FetchAndExtract:
                 statuses.append(200)
                 bodies.append(body[:cap])
         out = build_fetched_table(batch, statuses, bodies, self.extractor)
-        offer_candidates(out, self.cand_kernel, self.seen_handles,
-                         self.epoch_token)
-        return out
+        n_sent = offer_candidates(out, self.cand_kernel, self.seen_handles,
+                                  self.epoch_token)
+        return _set_offers_sent(out, n_sent)
 
 
 def add_fetch_key(batch: pa.Table) -> pa.Table:
@@ -272,6 +288,6 @@ class ExtractJoined:
                 statuses.append(200)
                 bodies.append(htmls[i][:cap])
         out = build_fetched_table(batch, statuses, bodies, self.extractor)
-        offer_candidates(out, self.cand_kernel, self.seen_handles,
-                         self.epoch_token)
-        return out
+        n_sent = offer_candidates(out, self.cand_kernel, self.seen_handles,
+                                  self.epoch_token)
+        return _set_offers_sent(out, n_sent)

@@ -43,6 +43,10 @@ class SeenShard:
             k: BloomFilter(bloom_capacity) for k in KINDS
         }
         self.epoch_buf: dict[str, dict[str, str]] = {}
+        # lifetime count of offer ENTRIES processed, per kind — the driver
+        # fences an epoch by waiting until sum(received) catches up with the
+        # entries the (fire-and-forget) fetch tasks reported sending
+        self.received: dict[str, int] = {k: 0 for k in KINDS}
 
     def check_and_add(self, kind: str, keys: list[str]) -> list[bool]:
         """For each key: True if newly added (was not seen), else False.
@@ -68,6 +72,7 @@ class SeenShard:
         semantics. Replaces a full groupby(url_norm) shuffle per epoch."""
         s = self.exact[kind]
         buf = self.epoch_buf.setdefault(kind, {})
+        self.received[kind] += len(norms)
         n = 0
         for norm, key in zip(norms, keys):
             if norm in s:
@@ -78,20 +83,47 @@ class SeenShard:
                 n += 1
         return n
 
-    def drain_epoch(self, kind: str):
-        """Commit the epoch buffer into the seen set; return accepted
-        (norm, min_key) pairs as two Arrow arrays (zero-copy transfer)."""
+    def offers_received(self, kind: str) -> int:
+        return self.received[kind]
+
+    def drain_epoch_table(self, kind: str):
+        """drain_epoch, returned as one Arrow table — the dataset-frontier
+        path builds the next epoch's frontier with
+        ``ray.data.from_arrow_refs`` over these per-shard refs, so the
+        accepted candidates NEVER pass through the driver."""
         import pyarrow as pa
 
+        norms, keys = self.drain_epoch(kind)
+        return pa.table({"url_norm": norms, "key": keys})
+
+    def drain_epoch(self, kind: str):
+        """Commit the epoch buffer into the seen set; return accepted
+        (norm, min_key) pairs as two Arrow arrays (zero-copy transfer).
+        Pairs are returned UNSORTED — the driver-side assemble sorts the
+        merged result anyway, so a per-shard sort would be pure waste."""
+        import os
+        import time
+
+        import pyarrow as pa
+
+        t0 = time.perf_counter()
         buf = self.epoch_buf.pop(kind, {})
         s = self.exact[kind]
-        out = sorted(buf.items())
         s.update(buf.keys())
         self.bloom[kind].add_many(list(buf.keys()))
-        return (
-            pa.array([n for n, _ in out], pa.string()),
-            pa.array([k for _, k in out], pa.string()),
+        out = (
+            pa.array(list(buf.keys()), pa.string()),
+            pa.array(list(buf.values()), pa.string()),
         )
+        if os.environ.get("GRAFT_CRAWL_DEBUG"):
+            import sys
+
+            print(
+                f"[shard {self.shard_id}] drain {len(buf)} keys "
+                f"in {time.perf_counter()-t0:.3f}s at {time.time():.3f}",
+                file=sys.stderr, flush=True,
+            )
+        return out
 
     def contains(self, kind: str, keys: list[str]) -> list[bool]:
         s = self.exact[kind]
@@ -186,18 +218,41 @@ def shard_of(key: str, n_shards: int) -> int:
 
 def offer_min_batch(shard_handles: list, kind: str, norms, keys) -> int:
     """Route (norm, key) offers to their shards (callable from map_batches
-    tasks). Returns the number of offers that were new-or-improved."""
+    tasks). FIRE-AND-FORGET: no blocking round-trip in the fetch hot path —
+    the driver fences the epoch by polling ``offers_received`` until it
+    catches up with the sent-entry count the tasks report in their output
+    (pipelines/crawl.py). Returns the number of entries submitted."""
     n = len(shard_handles)
     per_shard: dict[int, tuple[list[str], list[str]]] = {}
     for norm, key in zip(norms, keys):
         sl = per_shard.setdefault(shard_of(norm, n), ([], []))
         sl[0].append(norm)
         sl[1].append(key)
-    refs = [
+    for sid, (ns, ks) in per_shard.items():
         shard_handles[sid].offer_min.remote(kind, ns, ks)
-        for sid, (ns, ks) in per_shard.items()
-    ]
-    return sum(ray.get(refs))
+    return len(norms)
+
+
+def wait_offers_received(shard_handles: list, kind: str, expected: int,
+                         timeout: float = 120.0) -> int:
+    """Block until the shard pool has processed ≥ ``expected`` offer
+    entries (fire-and-forget sends are reliable but async; a task retry can
+    only overshoot, so ``>=`` is the right fence)."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while True:
+        got = sum(
+            ray.get([s.offers_received.remote(kind) for s in shard_handles])
+        )
+        if got >= expected:
+            return got
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"seen shards received {got}/{expected} offers within "
+                f"{timeout}s — a fetch worker likely died mid-send"
+            )
+        time.sleep(0.005)
 
 
 def check_and_add_batch(shard_handles: list, kind: str, keys) -> np.ndarray:
