@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_simhash": dedup.dedup_simhash,
-        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine_query,
         # --- similarity search ---
         "ann_bruteforce_topk": ann.ann_bruteforce_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
@@ -113,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": relational.TOP_CUSTOMERS_SQL,
         "part_type_counts": relational.PART_TYPE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_embedding_cosine": dedup.DEDUP_EMB_SQL,
         "ann_bruteforce_topk": ann.ANN_BRUTEFORCE_SQL,
         "token_counts": text.TOKEN_COUNTS_SQL,
         "quality_scores": text.QUALITY_SQL,

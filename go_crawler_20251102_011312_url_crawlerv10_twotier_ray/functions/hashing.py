@@ -26,43 +26,105 @@ def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-shingles hashed to uint64 (stable)."""
-    words = text.split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
-        )
+# splitmix-style odd mixing constants (stable across processes)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_FNV = np.uint64(0xCBF29CE484222325)
+
+
+def _pos_constants(k: int) -> np.ndarray:
+    """One odd multiplier per shingle position (deterministic splitmix)."""
+    out = np.empty(k, dtype=np.uint64)
+    x = np.uint64(0x9E3779B97F4A7C15)
+    for j in range(k):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(2**64 - 1)
+        z = x
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        out[j] = z | np.uint64(1)
     return out
 
 
-def minhash_signature(
-    sh: np.ndarray, a: np.ndarray, b: np.ndarray
+_POS3 = _pos_constants(8)  # enough positions for any practical k
+
+# per-process word-hash memo: corpora repeat words massively, so one
+# blake2b per DISTINCT word per process replaces one per shingle
+_WORD_CACHE: dict[str, int] = {}
+
+
+def word_hash_array(words: list[str]) -> np.ndarray:
+    cache = _WORD_CACHE
+    if len(cache) > 2_000_000:
+        cache.clear()
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+            )
+            cache[w] = h
+        out[i] = h
+    return out
+
+
+def shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-shingle hashes (uint64, stable): each word is blake2b-hashed
+    once (memoized per process), shingle hashes combine the k word hashes
+    with position-dependent odd multipliers — fully vectorized, no per-
+    shingle digest calls."""
+    words = text.split()
+    n = len(words)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    wh = word_hash_array(words)
+    if n < k:
+        h = _FNV
+        for v in wh:
+            h = (h ^ v) * _MIX2
+        return np.array([h], dtype=np.uint64)
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        acc ^= wh[j : j + m] * _POS3[j]
+    acc *= _MIX2
+    acc ^= acc >> np.uint64(29)
+    return acc
+
+
+def minhash_matrix(
+    shingle_arrays: list[np.ndarray], a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
-    """n_perm minima of (a*x + b) mod p over the shingle set (vectorized
-    outer product: n_shingles × n_perm)."""
-    if len(sh) == 0:
-        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = (sh % _MERSENNE).astype(np.uint64)
-    vals = (np.outer(x, a) + b) % _MERSENNE  # < 2^62: exact in uint64
-    return vals.min(axis=0)
+    """MinHash signatures for a whole BATCH of docs at once: one
+    (total_shingles × n_perm) modular-affine matrix + per-doc segment minima
+    via ``np.minimum.reduceat`` — no per-doc Python work beyond the list
+    bookkeeping. Empty docs get the max-sentinel signature."""
+    n_docs, n_perm = len(shingle_arrays), len(a)
+    out = np.full((n_docs, n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nonempty = [i for i, s in enumerate(shingle_arrays) if len(s)]
+    if not nonempty:
+        return out
+    concat = np.concatenate([shingle_arrays[i] for i in nonempty])
+    x = (concat % _MERSENNE).astype(np.uint64)
+    vals = (x[:, None] * a[None, :] + b[None, :]) % _MERSENNE  # < 2^62: exact
+    lens = np.array([len(shingle_arrays[i]) for i in nonempty])
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    out[nonempty] = np.minimum.reduceat(vals, starts, axis=0)
+    return out
 
 
-def band_keys(sig: np.ndarray, n_bands: int) -> list[str]:
-    """LSH band keys: hash of each band's rows."""
-    rows = len(sig) // n_bands
-    keys = []
-    for b in range(n_bands):
-        band = sig[b * rows : (b + 1) * rows].tobytes()
-        keys.append(
-            f"{b}:" + hashlib.blake2b(band, digest_size=8).hexdigest()
-        )
-    return keys
+def band_keys_matrix(sig: np.ndarray, n_bands: int) -> np.ndarray:
+    """LSH band keys as int64 (band index in the top byte, mixed band hash
+    below): integer keys shuffle ~5× cheaper than the old hex strings, and
+    the whole (n_docs × n_bands) grid is computed vectorized."""
+    n_docs, n_perm = sig.shape
+    rows = n_perm // n_bands
+    v = sig[:, : n_bands * rows].reshape(n_docs, n_bands, rows)
+    h = np.full((n_docs, n_bands), _FNV, dtype=np.uint64)
+    for r in range(rows):
+        h = (h ^ v[:, :, r]) * _MIX2
+        h ^= h >> np.uint64(31)
+    band_idx = np.arange(n_bands, dtype=np.uint64) << np.uint64(56)
+    return ((h >> np.uint64(8)) | band_idx[None, :]).view(np.int64)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

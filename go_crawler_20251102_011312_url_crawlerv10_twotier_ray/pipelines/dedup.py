@@ -84,7 +84,9 @@ MINHASH_SEED = 12345
 
 
 class MinHashSignatures:
-    """Per-batch shingle+minhash (permutation params built once per actor)."""
+    """Whole-batch shingle+minhash+banding — every step vectorized
+    (functions/hashing.py: memoized word hashes, one affine matrix +
+    segment minima for the signatures, int64 band keys)."""
 
     def __init__(self):
         from ..functions.hashing import _perm_params
@@ -92,93 +94,212 @@ class MinHashSignatures:
         self.a, self.b = _perm_params(N_PERM, MINHASH_SEED)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ..functions.hashing import band_keys, minhash_signature, shingles
+        import numpy as np
 
-        ids, bands = [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = minhash_signature(shingles(text, SHINGLE_K), self.a, self.b)
-            for bk in band_keys(sig, N_BANDS):
-                ids.append(doc_id)
-                bands.append(bk)
+        from ..functions.hashing import (
+            band_keys_matrix,
+            minhash_matrix,
+            shingles,
+        )
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        shs = [shingles(x, SHINGLE_K) for x in t["text"].to_pylist()]
+        sig = minhash_matrix(shs, self.a, self.b)
+        bands = band_keys_matrix(sig, N_BANDS)  # (n_docs, N_BANDS) int64
         return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()),
-             "band": pa.array(bands, pa.string())}
+            {
+                "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
+                "band": pa.array(bands.reshape(-1), pa.int64()),
+            }
         )
 
 
-def dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
-    """Candidate near-dup pairs from LSH band buckets, verified with exact
-    shingle Jaccard. Returns (doc_a, doc_b, jaccard_pct) with doc_a < doc_b.
-    Not SQL-expressible → rows-only driver check; pytest covers semantics on
-    planted near-duplicates."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    sigs = ds.map_batches(MinHashSignatures, batch_format="pyarrow",
-                          batch_size=256, concurrency=(2, 8)).materialize()
-    # (materialized: both the count shuffle and the collision filter below
-    # consume it — without this the signature stage would run twice)
+_EMPTY_PAIRS = {"doc_a": "int64", "doc_b": "int64", "jaccard_pct": "int64"}
 
-    # Bands are overwhelmingly singletons: a map_groups over every band
-    # would pay one Python call per band. Instead: C-speed count shuffle →
-    # broadcast the (small) hot-band set → filter sig rows to collisions →
-    # pairs from the collision rows only (≪ corpus size).
-    from ray.data.aggregate import Count
 
-    counts = sigs.groupby("band").aggregate(Count(alias_name="n")).to_pandas()
-    hot = set(counts[counts["n"] > 1]["band"])
-    if not hot:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_pct": []}).astype(
-            {"doc_a": "int64", "doc_b": "int64", "jaccard_pct": "int64"}
-        )
-    hot_ref = ray.put(hot)
-
-    def keep_hot(t: pa.Table) -> pa.Table:
-        from ..stages.fetch import cached_broadcast
-
-        hs = cached_broadcast(hot_ref)
-        mask = pa.array([b in hs for b in t["band"].to_pylist()])
-        return t.filter(mask)
-
-    coll = sigs.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+def _pairs_from_collisions(coll: pd.DataFrame) -> pd.DataFrame:
+    """Unique candidate (doc_a, doc_b) pairs from collision rows."""
     pairs = []
     for _, g in coll.groupby("band"):
         ids = sorted(set(g["doc_id"]))
         if len(ids) < 2 or len(ids) > 200:  # skip degenerate giant buckets
             continue
-        pairs.extend(
-            (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
-        )
-    cand = pd.DataFrame(pairs, columns=["doc_a", "doc_b"]).drop_duplicates()
-    if not len(cand):
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_pct": []}).astype(
-            {"doc_a": "int64", "doc_b": "int64", "jaccard_pct": "int64"}
-        )
-
-    # verify: fetch the texts of candidate docs (small set) and compute
-    # exact shingle Jaccard
-    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    need_set = set(need)
-
-    def keep_needed(t: pa.Table) -> pa.Table:
-        mask = pa.array([i in need_set for i in t["doc_id"].to_pylist()])
-        return t.filter(mask)
-
-    texts_df = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(keep_needed, batch_format="pyarrow")
-        .to_pandas()
+        pairs.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
+    return (
+        pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+        .drop_duplicates()
+        .astype({"doc_a": "int64", "doc_b": "int64"})
     )
-    texts = dict(zip(texts_df["doc_id"], texts_df["text"]))
-    from ..functions.hashing import jaccard, shingles
 
-    sh = {i: shingles(texts[i], SHINGLE_K) for i in need}
+
+def _packed_shingles_ds(sf_dir: str, need_ref) -> "rd.Dataset":
+    """(doc_id, byte-packed unique shingle set) for the broadcast id set —
+    computed where the texts live; texts never leave the workers."""
+    import pyarrow.compute as pc
+
+    def doc_shingles(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import shingles
+        from ..stages.fetch import cached_broadcast
+
+        t = t.filter(
+            pc.is_in(t["doc_id"], value_set=cached_broadcast(need_ref))
+        )
+        shs = [shingles(x, SHINGLE_K) for x in t["text"].to_pylist()]
+        # byte-packed uint64 sets: hash joins don't take list payloads
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sh": pa.array(
+                    [np.unique(s).tobytes() for s in shs], pa.binary()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_shingles, batch_format="pyarrow"
+    )
+
+
+def _verify_pairs_table(t: pa.Table) -> pa.Table:
+    """(doc_a, doc_b, sh_a, sh_b) rows -> verified pairs ≥ threshold."""
     rows = []
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        j = jaccard(sh[a], sh[b])
-        if j >= JACCARD_THRESHOLD:
-            rows.append((int(a), int(b), int(round(j * 100))))
-    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_pct"]).astype(
-        {"doc_a": "int64", "doc_b": "int64", "jaccard_pct": "int64"}
+    for a, b, sa, sb in zip(
+        t["doc_a"].to_pylist(), t["doc_b"].to_pylist(),
+        t["sh_a"].to_pylist(), t["sh_b"].to_pylist(),
+    ):
+        sa = np.frombuffer(sa, dtype=np.uint64)
+        sb = np.frombuffer(sb, dtype=np.uint64)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac = (inter / union) if union else 1.0
+        if jac >= JACCARD_THRESHOLD:
+            rows.append((a, b, int(round(jac * 100))))
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard_pct": pa.array([r[2] for r in rows], pa.int64()),
+        }
     )
+
+
+# below this many (doc, band) rows the whole LSH tail runs on the driver:
+# Ray's hash-shuffle floor (~2 s/op on this box) dwarfs 0.03 s of pandas.
+# 5M rows ≈ 80 MB — comfortably driver-sized; past it, every step stays
+# distributed (count shuffle → map_groups pair-gen → join verify).
+MINHASH_SMALL_LIMIT = 5_000_000
+
+
+def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
+    """Candidate near-dup pairs from LSH band buckets, verified with exact
+    shingle Jaccard. Returns (doc_a, doc_b, jaccard_pct) with doc_a < doc_b.
+
+    Size-adaptive after the (always distributed, always vectorized)
+    signature stage, keyed on the band-table row count — ``mode`` forces
+    ``"driver"`` or ``"distributed"`` (tests cover both):
+
+    - driver tail (small inputs): band table (16 B/row) → value_counts →
+      pair-gen → verify against worker-computed packed shingle sets.
+    - distributed tail (the 100 TB path): band-count shuffle → hot bands
+      broadcast → collision rows (≪ corpus) only: groupby(band).map_groups
+      pair-gen, pair-dedup groupby, exact-Jaccard verify via Dataset.join
+      against a (doc_id, packed shingles) table of candidate docs.
+    Not SQL-expressible → rows-only driver check; pytest covers semantics
+    on planted near-duplicates for BOTH modes."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(MinHashSignatures, batch_format="pyarrow",
+                          batch_size=256, concurrency=(2, 8)).materialize()
+    # (materialized: both the count/collision consumers below reuse it)
+
+    distributed = mode == "distributed" or (
+        mode == "auto" and sigs.count() > MINHASH_SMALL_LIMIT
+    )
+
+    if not distributed:
+        df = sigs.to_pandas()
+        vc = df["band"].value_counts()
+        coll = df[df["band"].isin(vc[vc > 1].index)]
+        cand = _pairs_from_collisions(coll)
+        if not len(cand):
+            return pd.DataFrame(columns=list(_EMPTY_PAIRS)).astype(_EMPTY_PAIRS)
+        need = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
+        need_ref = ray.put(pa.array(need, pa.int64()))
+        sh_df = _packed_shingles_ds(sf_dir, need_ref).to_pandas()
+        sh = dict(zip(sh_df["doc_id"], sh_df["sh"]))
+        verified = _verify_pairs_table(
+            pa.table(
+                {
+                    "doc_a": pa.array(cand["doc_a"], pa.int64()),
+                    "doc_b": pa.array(cand["doc_b"], pa.int64()),
+                    "sh_a": pa.array([sh[a] for a in cand["doc_a"]], pa.binary()),
+                    "sh_b": pa.array([sh[b] for b in cand["doc_b"]], pa.binary()),
+                }
+            )
+        )
+        out = verified.to_pandas()
+        if not len(out):
+            return pd.DataFrame(columns=list(_EMPTY_PAIRS)).astype(_EMPTY_PAIRS)
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    # ---- distributed tail ----
+    from ray.data.aggregate import Count
+
+    hot = (
+        sigs.groupby("band").aggregate(Count(alias_name="n"))
+        .filter(expr="n > 1")
+        .to_pandas()  # ONLY colliding bands reach the driver
+    )
+    if not len(hot):
+        return pd.DataFrame(columns=list(_EMPTY_PAIRS)).astype(_EMPTY_PAIRS)
+    hot_ref = ray.put(pa.array(hot["band"], pa.int64()))
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        from ..stages.fetch import cached_broadcast
+
+        return t.filter(pc.is_in(t["band"], value_set=cached_broadcast(hot_ref)))
+
+    coll = sigs.map_batches(keep_hot, batch_format="pyarrow")
+
+    # distributed pair-gen: one group per COLLIDING band only
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        if len(ids) < 2 or len(ids) > 200:  # skip degenerate giant buckets
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64"})
+        return pd.DataFrame(
+            [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
+            columns=["doc_a", "doc_b"],
+        ).astype({"doc_a": "int64", "doc_b": "int64"})
+
+    cand = (
+        coll.groupby("band").map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+        .drop_columns(["n_bands"])
+        .materialize()
+    )
+    if cand.count() == 0:
+        return pd.DataFrame(columns=list(_EMPTY_PAIRS)).astype(_EMPTY_PAIRS)
+
+    # verify via join: shingle sets for candidate docs only (the candidate
+    # id set is ids-only and ≪ corpus; the TEXTS never leave the workers)
+    ids_a = cand.select_columns(["doc_a"]).rename_columns(["doc_id"])
+    ids_b = cand.select_columns(["doc_b"]).rename_columns(["doc_id"])
+    need_ids = ids_a.union(ids_b).unique("doc_id")
+    need_ref = ray.put(pa.array(sorted(need_ids), pa.int64()))
+    sh_ds = _packed_shingles_ds(sf_dir, need_ref).materialize()  # 2 joins
+    j1 = cand.join(
+        sh_ds.rename_columns({"doc_id": "doc_a", "sh": "sh_a"}),
+        join_type="inner", num_partitions=8, on=("doc_a",),
+    )
+    j2 = j1.join(
+        sh_ds.rename_columns({"doc_id": "doc_b", "sh": "sh_b"}),
+        join_type="inner", num_partitions=8, on=("doc_b",),
+    )
+    out = j2.map_batches(_verify_pairs_table, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return pd.DataFrame(columns=list(_EMPTY_PAIRS)).astype(_EMPTY_PAIRS)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -282,37 +403,83 @@ def dedup_simhash(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 EMB_DUP_THRESHOLD = 0.95
+# exact mode broadcasts the reference matrix in chunks of this many rows —
+# bounds per-node plasma footprint at any corpus size (the exact all-pairs
+# compare is inherently O(n²) work; LSH mode below is the near-dup path)
+EMB_CHUNK_ROWS = 500_000
+_EMB_BANDS = 12   # bands per signature
+_EMB_PLANES = 12  # hyperplanes per band: recall ≈ 0.98 at cos ≥ 0.95
+
+_EMPTY_EMB = {"vec_a": "int64", "vec_b": "int64", "cos_pct": "int64"}
 
 
-def dedup_embedding_cosine(sf_dir: str) -> pd.DataFrame:
-    """Pairs with cosine ≥ 0.95 over the embeddings table. Each batch is
-    compared against the full broadcast matrix with one float64 matmul
-    (the brute-force scale path is blocked matmul; an LSH-bucketed variant
-    lives in pipelines/ann.py). Rows-only check (float pair set)."""
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    full = ds.to_pandas()
-    ids = full["vec_id"].to_numpy()
-    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    ref = ray.put((ids, matn))
+def _emb_ds(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
 
-    class Block:
-        def __init__(self, r):
-            self.ids, self.matn = ray.get(r)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            bids = np.asarray(t["vec_id"].to_pylist())
-            bm = np.stack([np.asarray(v, dtype=np.float64)
-                           for v in t["embedding"].to_pylist()])
-            bn = np.linalg.norm(bm, axis=1)
-            bn[bn == 0] = 1.0
-            sims = (bm / bn[:, None]) @ self.matn.T
-            ai, bj = np.nonzero(sims >= EMB_DUP_THRESHOLD)
-            a = bids[ai]
-            b = self.ids[bj]
+def _norm_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t["embedding"].to_pylist()])
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return ids, m / n[:, None]
+
+
+def dedup_embedding_cosine(
+    sf_dir: str, threshold: float = EMB_DUP_THRESHOLD, method: str = "auto"
+) -> pd.DataFrame:
+    """(vec_a, vec_b, cos_pct) pairs with cosine ≥ threshold, vec_a < vec_b.
+
+    - ``exact``: blocked matmul — the reference side is broadcast in
+      ≤EMB_CHUNK_ROWS chunks (never the whole matrix at once), each batch
+      does one float64 matmul per chunk. Exact → SQL-checkable against a
+      DuckDB self-join; the all-pairs work is inherent to exactness.
+    - ``lsh``: banded random-hyperplane buckets (the MinHash-LSH shape:
+      explode → bucket groupby → candidate pairs → exact verify); only
+      bucket collisions are compared. Right for the ≥0.9 near-dup regime
+      (recall ≈ 0.98 at cos ≥ 0.95 with 12 bands × 12 planes).
+    - ``auto``: lsh when threshold ≥ 0.9 else exact.
+    """
+    if method == "auto":
+        method = "lsh" if threshold >= 0.9 else "exact"
+    ds = _emb_ds(sf_dir)
+    if method == "exact":
+        return _emb_cosine_exact(ds, threshold)
+    return _emb_cosine_lsh(ds, threshold)
+
+
+def _emb_cosine_exact(ds: rd.Dataset, threshold: float) -> pd.DataFrame:
+    full = ds.materialize()
+    outs = []
+    # driver loop over reference chunks: each iteration broadcasts ONE
+    # bounded chunk (streamed out via iter_batches — the whole matrix is
+    # never resident at once); at sf scales this is a single iteration
+    chunks = []
+    buf = []
+    buf_rows = 0
+    for b in full.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        buf.append(b)
+        buf_rows += b.num_rows
+        if buf_rows >= EMB_CHUNK_ROWS:
+            chunks.append(pa.concat_tables(buf))
+            buf, buf_rows = [], 0
+    if buf:
+        chunks.append(pa.concat_tables(buf))
+
+    for chunk in chunks:
+        cids, cmat = _norm_rows(chunk)
+        ref = ray.put((cids, cmat))
+
+        def against_chunk(t: pa.Table, _ref=ref) -> pa.Table:
+            from ..stages.fetch import cached_broadcast
+
+            rids, rmat = cached_broadcast(_ref)
+            bids, bm = _norm_rows(t)
+            sims = bm @ rmat.T
+            ai, bj = np.nonzero(sims >= threshold)
+            a, b = bids[ai], rids[bj]
             keep = a < b
             return pa.table(
                 {
@@ -324,12 +491,105 @@ def dedup_embedding_cosine(sf_dir: str) -> pd.DataFrame:
                 }
             )
 
-    out = ds.map_batches(
-        Block, fn_constructor_args=(ref,), batch_format="pyarrow",
-        batch_size=256, concurrency=2,
-    ).to_pandas()
-    if not len(out):
-        return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_pct": []}).astype(
-            {"vec_a": "int64", "vec_b": "int64", "cos_pct": "int64"}
+        outs.append(
+            full.map_batches(against_chunk, batch_format="pyarrow",
+                             batch_size=1024).to_pandas()
         )
+    out = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+    if not len(out):
+        return pd.DataFrame(columns=list(_EMPTY_EMB)).astype(_EMPTY_EMB)
+    return (
+        out.drop_duplicates(["vec_a", "vec_b"])
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    )
+
+
+def _emb_cosine_lsh(ds: rd.Dataset, threshold: float) -> pd.DataFrame:
+    """Banded-hyperplane candidate generation + exact verify (same
+    explode→hot-bucket→pairs shape as dedup_minhash_lsh). Planes are
+    deterministic per (seed, dim), recomputed in each kernel call."""
+    n_bands, n_planes = _EMB_BANDS, _EMB_PLANES
+
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        ids, m = _norm_rows(t)
+        dim = m.shape[1]
+        local_rng = np.random.RandomState(424242)
+        planes = local_rng.standard_normal((dim, n_bands * n_planes))
+        bits = (m @ planes > 0).astype(np.uint64)
+        bits = bits.reshape(len(ids), n_bands, n_planes)
+        weights = (1 << np.arange(n_planes, dtype=np.uint64))
+        buckets = (bits * weights).sum(axis=2)  # (n, n_bands)
+        band_idx = np.arange(n_bands, dtype=np.uint64) << np.uint64(32)
+        keys = (buckets | band_idx[None, :]).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+                "bucket": pa.array(keys.reshape(-1), pa.int64()),
+            }
+        )
+
+    sigs = ds.map_batches(bucket_rows, batch_format="pyarrow",
+                          batch_size=1024).to_pandas()
+    vc = sigs["bucket"].value_counts()
+    coll = sigs[sigs["bucket"].isin(vc[vc > 1].index)]
+    pairs = []
+    for _, g in coll.groupby("bucket"):
+        ids = sorted(set(g["vec_id"]))
+        if len(ids) < 2 or len(ids) > 500:
+            continue
+        pairs.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
+    cand = pd.DataFrame(pairs, columns=["vec_a", "vec_b"]).drop_duplicates()
+    if not len(cand):
+        return pd.DataFrame(columns=list(_EMPTY_EMB)).astype(_EMPTY_EMB)
+
+    # exact verify: fetch candidate vectors (small set), vectorized dot
+    need = np.unique(np.concatenate([cand["vec_a"], cand["vec_b"]]))
+    need_ref = ray.put(pa.array(need, pa.int64()))
+
+    def keep_needed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.fetch import cached_broadcast
+
+        return t.filter(
+            pc.is_in(t["vec_id"], value_set=cached_broadcast(need_ref))
+        )
+
+    sub = ds.map_batches(keep_needed, batch_format="pyarrow").to_pandas()
+    ids, m = _norm_rows(pa.Table.from_pandas(sub, preserve_index=False))
+    pos = {v: i for i, v in enumerate(ids)}
+    a_idx = np.array([pos[v] for v in cand["vec_a"]])
+    b_idx = np.array([pos[v] for v in cand["vec_b"]])
+    sims = np.einsum("ij,ij->i", m[a_idx], m[b_idx])
+    keep = sims >= threshold
+    out = pd.DataFrame(
+        {
+            "vec_a": cand["vec_a"].to_numpy()[keep].astype("int64"),
+            "vec_b": cand["vec_b"].to_numpy()[keep].astype("int64"),
+            "cos_pct": np.rint(sims[keep] * 1000).astype("int64"),
+        }
+    )
+    if not len(out):
+        return pd.DataFrame(columns=list(_EMPTY_EMB)).astype(_EMPTY_EMB)
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# driver-checkable variant: τ=0.45 has real matches in the all-distinct
+# synthetic embeddings (the 0.95 default is the dedup semantic, but random
+# vectors have no such pairs — a 0-row check would be vacuous)
+EMB_QUERY_THRESHOLD = 0.45
+
+
+def dedup_embedding_cosine_query(sf_dir: str) -> pd.DataFrame:
+    return dedup_embedding_cosine(sf_dir, threshold=EMB_QUERY_THRESHOLD,
+                                  method="exact")
+
+
+DEDUP_EMB_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 1000)
+            AS BIGINT) AS cos_pct
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_QUERY_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""

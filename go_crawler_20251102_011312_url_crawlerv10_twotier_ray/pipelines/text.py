@@ -173,38 +173,53 @@ _STOPWORDS = {
 }
 
 
+_LETTER = r"a-zA-ZäöüßéèêàçñÀ-ÿ"
+
+
 class LangId:
-    """Stopword-hit language scorer (compiled once per actor — the
-    stateful-stage pattern); falls back to 'und' (undetermined)."""
+    """Stopword-hit language scorer, fully vectorized: per language ONE
+    compiled boundary-anchored alternation counted with the pandas C regex
+    engine (str.count), plus one pass for the word total — no per-row
+    Python. Patterns compile once per actor (stateful-stage pattern);
+    falls back to 'und' (undetermined)."""
 
     def __init__(self):
-        self.word = re.compile(r"[a-zA-ZäöüßéèêàçñÀ-ÿ]+")
-        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        import numpy as np
+
+        self.np = np
+        self.word = re.compile(f"[{_LETTER}]+")
+        self.langs = sorted(_STOPWORDS)  # tie-break: first alphabetical max
+        self.pats = {
+            lang: re.compile(
+                f"(?<![{_LETTER}])(?:"
+                + "|".join(sorted(_STOPWORDS[lang]))
+                + f")(?![{_LETTER}])",
+                re.IGNORECASE,
+            )
+            for lang in self.langs
+        }
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds, scores = [], []
-        for text in t["text"].to_pylist():
-            words = [w.lower() for w in self.word.findall(text)]
-            if not words:
-                preds.append("und")
-                scores.append(0)
-                continue
-            hits = {
-                lang: sum(w in tbl for w in words)
-                for lang, tbl in self.tables.items()
-            }
-            best = max(sorted(hits), key=lambda k: hits[k])
-            if hits[best] == 0:
-                preds.append("und")
-                scores.append(0)
-            else:
-                preds.append(best)
-                scores.append(int(hits[best] * 1000 / len(words)))
+        np = self.np
+        s = pd.Series(t["text"].to_pylist())
+        n_words = s.str.count(self.word).to_numpy()
+        hits = np.stack(
+            [s.str.count(self.pats[lang]).to_numpy() for lang in self.langs]
+        )  # (n_langs, n_docs)
+        best_idx = hits.argmax(axis=0)
+        best_hits = hits[best_idx, np.arange(len(s))]
+        und = (best_hits == 0) | (n_words == 0)
+        preds = np.where(
+            und, "und", np.asarray(self.langs, dtype=object)[best_idx]
+        )
+        scores = np.where(
+            und, 0, best_hits * 1000 // np.maximum(n_words, 1)
+        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "lang": t["lang"],
-                "lang_pred": pa.array(preds, pa.string()),
+                "lang_pred": pa.array(preds.tolist(), pa.string()),
                 "hit_permille": pa.array(scores, pa.int64()),
             }
         )

@@ -80,6 +80,20 @@ def test_minhash_lsh_finds_near_dups(planted_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_distributed_mode_matches_driver_mode(planted_dir):
+    """The 100 TB tail (groupby pair-gen + join verify) must return the
+    same verified pairs as the small-input driver tail."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    drv = dedup_minhash_lsh(planted_dir, mode="driver")
+    dst = dedup_minhash_lsh(planted_dir, mode="distributed")
+    pd.testing.assert_frame_equal(drv, dst)
+    assert (0, 40) in set(zip(dst["doc_a"], dst["doc_b"]))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_simhash_finds_exact_dups(planted_dir):
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
         dedup_simhash,
@@ -112,6 +126,38 @@ def test_ann_bruteforce_nearest_is_perturbed_twin(planted_dir):
     assert top1 == 30  # the planted twin
     top1_q5 = out[(out["query_id"] == 5) & (out["rank"] == 1)]["vec_id"].iloc[0]
     assert top1_q5 == 31
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_cosine_lsh_matches_exact_on_planted(planted_dir):
+    """At the 0.95 near-dup threshold the LSH-bucketed path must find the
+    same pairs as the exact blocked matmul (planted twins collide in every
+    band)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    exact = dedup_embedding_cosine(planted_dir, threshold=0.95, method="exact")
+    lsh = dedup_embedding_cosine(planted_dir, threshold=0.95, method="lsh")
+    pd.testing.assert_frame_equal(exact, lsh)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_lsh_recall_at_sf001():
+    """recall@5 vs brute force ≥ 0.6 on the (non-planted, near-isotropic —
+    LSH-worst-case) sf0.01 embeddings."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.ann import (
+        ann_bruteforce_topk,
+        ann_lsh_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    bf = ann_bruteforce_topk(sf)
+    lsh = ann_lsh_topk(sf)
+    bfs = {q: set(g["vec_id"]) for q, g in bf.groupby("query_id")}
+    ls = {q: set(g["vec_id"]) for q, g in lsh.groupby("query_id")}
+    recalls = [len(bfs[q] & ls.get(q, set())) / len(bfs[q]) for q in bfs]
+    assert sum(recalls) / len(recalls) >= 0.6
 
 
 @pytest.mark.usefixtures("ray_session")
