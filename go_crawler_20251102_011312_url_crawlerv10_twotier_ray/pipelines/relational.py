@@ -111,26 +111,25 @@ Q3_SEGMENT = "BUILDING"
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    cust_keys = set(
-        cust.filter(lambda r: r["c_mktsegment"] == Q3_SEGMENT)
+    cust_keys = (
+        cust.filter(expr=f"c_mktsegment == '{Q3_SEGMENT}'")
         .to_pandas()["c_custkey"]
+        .to_numpy()
     )
-    keys_ref = ray.put(cust_keys)  # broadcast the small side once
+    # broadcast the (small) key set once; semi-join via the pc.is_in C
+    # kernel inside stateless tasks — no actor pool, no per-row Python
+    keys_ref = ray.put(pa.array(cust_keys))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    class SemiJoin:
-        def __init__(self, ref):
-            self.keys = ray.get(ref)
+    def semi_join(t: pa.Table) -> pa.Table:
+        from ..stages.fetch import cached_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([k in self.keys for k in t["o_custkey"].to_pylist()])
-            return t.filter(mask)
+        return t.filter(
+            pc.is_in(t["o_custkey"], value_set=cached_broadcast(keys_ref))
+        )
 
-    orders_f = orders.map_batches(
-        SemiJoin, fn_constructor_args=(keys_ref,), batch_format="pyarrow",
-        concurrency=2,
-    )
+    orders_f = orders.map_batches(semi_join, batch_format="pyarrow")
 
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -162,6 +161,10 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     out = out.rename(columns={"l_orderkey": "o_orderkey"})
     out = out.sort_values(["revenue_c4", "o_orderkey"],
                           ascending=[False, True]).head(10).reset_index(drop=True)
+    # Ray's hash-aggregate downcasts timestamp group keys to datetime64[s];
+    # DuckDB returns datetime64[us] and the driver's value hash is
+    # width-sensitive for datetimes — restore microsecond precision
+    out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
     return out[["o_orderkey", "o_orderdate", "revenue_c4"]]
 
 
@@ -184,42 +187,59 @@ LIMIT 10
 
 
 def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue by nation: lineitem revenue is partial-aggregated by orderkey
+    inside map_batches, hash-joined DISTRIBUTED against orders (both
+    fact-scale tables — neither is materialized on the driver), then the
+    custkey→nation mapping (dimension-only, broadcast once as an Arrow
+    table) turns the join output into 25 partial sums per batch."""
     nation = _read(sf_dir, "nation").to_pandas()
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-
-    # orders is small enough to broadcast as orderkey→nation lookup: the
-    # lineitem scan then needs NO shuffle at all — per-batch partial sums by
-    # nation, then a trivial 25-group final aggregate
-    odf = orders.to_pandas()
-    okey_to_nation = {
-        k: nation_name.get(cust_nation.get(c))
-        for k, c in zip(odf["o_orderkey"], odf["o_custkey"])
-    }
-    lut = ray.put(okey_to_nation)
+    cust_nation = pd.Series(
+        cust["c_nationkey"].map(nation_name).to_numpy(),
+        index=cust["c_custkey"].to_numpy(),
+    )
+    lut_ref = ray.put(cust_nation)  # dimension-only broadcast
 
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    class PartialByNation:
-        def __init__(self, ref):
-            from ..stages.fetch import cached_broadcast
+    def rev_by_order(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.rint(ext * (1 - disc) * 10_000).astype(np.int64)
+        df = pd.DataFrame(
+            {"l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+             "rev_c4": rev}
+        )
+        g = df.groupby("l_orderkey", as_index=False)["rev_c4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-            self.lut = cached_broadcast(ref)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    try:
+        n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    except Exception:
+        n_part = 8
+    joined = line.map_batches(rev_by_order, batch_format="pyarrow").join(
+        orders, join_type="inner", num_partitions=n_part,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-            disc = t["l_discount"].to_numpy(zero_copy_only=False)
-            rev = np.rint(ext * (1 - disc) * 10_000).astype(np.int64)
-            names = [self.lut.get(k) for k in t["l_orderkey"].to_pylist()]
-            df = pd.DataFrame({"n_name": names, "rev_c4": rev})
-            g = df.groupby("n_name", as_index=False)["rev_c4"].sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
+    def partial_by_nation(t: pa.Table) -> pa.Table:
+        from ..stages.fetch import cached_broadcast
+
+        lut = cached_broadcast(lut_ref)
+        names = pd.Series(
+            t["o_custkey"].to_numpy(zero_copy_only=False)
+        ).map(lut)
+        df = pd.DataFrame(
+            {"n_name": names,
+             "rev_c4": t["rev_c4"].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("n_name", as_index=False)["rev_c4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        line.map_batches(PartialByNation(lut), batch_format="pyarrow")
+        joined.map_batches(partial_by_nation, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("rev_c4", alias_name="revenue_c4"))
         .to_pandas()
@@ -270,6 +290,9 @@ def events_hourly_window(sf_dir: str) -> pd.DataFrame:
         .sort_values(["event_type", "window_start"])
         .reset_index(drop=True)
     )
+    # Ray's hash-aggregate downcasts the timestamp key to datetime64[s];
+    # match DuckDB's microsecond width for the driver's value hash
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out
 
 
@@ -322,6 +345,7 @@ def events_sliding_window(sf_dir: str) -> pd.DataFrame:
         .sort_values(["event_type", "window_start"])
         .reset_index(drop=True)
     )
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out
 
 

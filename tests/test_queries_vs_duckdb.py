@@ -34,9 +34,7 @@ def con():
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype("datetime64[us]")
-        elif pd.api.types.is_integer_dtype(df[c].dtype):
+        if pd.api.types.is_integer_dtype(df[c].dtype):
             # width-insensitive (driver hashes values), int-vs-float strict
             df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
