@@ -35,12 +35,13 @@ def _pos_constants(k: int) -> np.ndarray:
     """One odd multiplier per shingle position (deterministic splitmix)."""
     out = np.empty(k, dtype=np.uint64)
     x = np.uint64(0x9E3779B97F4A7C15)
-    for j in range(k):
-        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(2**64 - 1)
-        z = x
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        out[j] = z | np.uint64(1)
+    with np.errstate(over="ignore"):  # splitmix wraps mod 2^64 by design
+        for j in range(k):
+            x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(2**64 - 1)
+            z = x
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            out[j] = z | np.uint64(1)
     return out
 
 
@@ -150,38 +151,68 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash_matrix(texts: list[str]) -> np.ndarray:
+    """SimHash signatures for a whole BATCH of docs: one memoized word-hash
+    pass over the flattened words, a single ±1 bit matrix, and per-doc
+    ``np.add.reduceat`` segment sums — bit-identical to ``simhash64`` (the
+    per-doc reference used by the oracle/tests) with no per-word Python in
+    the hot loop. Empty docs get signature 0, matching simhash64."""
+    n_docs = len(texts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    word_lists = [t.split() for t in texts]
+    nonempty = [i for i, wl in enumerate(word_lists) if wl]
+    if not nonempty:
+        return out
+    wh = word_hash_array([w for i in nonempty for w in word_lists[i]])
+    bits = (
+        (wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ).astype(np.int32)
+    pm = bits * 2 - 1  # ±1 per bit, int32: safe up to 2^31 words per doc
+    lens = np.array([len(word_lists[i]) for i in nonempty])
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    acc = np.add.reduceat(pm, starts, axis=0)  # (n_nonempty, 64)
+    sigbits = (acc > 0).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    out[nonempty] = (sigbits * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def hamming64_array(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise Hamming distance between two uint64 arrays (vectorized
+    XOR + byte-level popcount via np.unpackbits)."""
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    if not len(x):
+        return np.zeros(0, dtype=np.int64)
+    return (
+        np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+        .astype(np.int64)
+    )
 
 
 def rolling_fingerprints(text: str, k: int = 8, w: int = 16) -> list[int]:
     """Winnowing fingerprints: Rabin-Karp rolling hash of k-grams, minimum
     per window of w (Schleimer et al., SIGMOD'03). Deterministic."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
     data = text.encode("utf-8", "replace")
     n = len(data)
     if n < k:
         return [int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")] if n else []
-    base = np.uint64(1000003)
-    mod = np.uint64(0xFFFFFFFFFFFFFFFF)
-    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    # rolling hash via cumulative powers (vectorized)
-    pw = np.ones(k, dtype=np.uint64)
-    for i in range(1, k):
-        pw[i] = pw[i - 1] * base
-    hashes = np.zeros(n - k + 1, dtype=np.uint64)
-    h = np.uint64(0)
-    for i in range(k):
-        h = h * base + arr[i]
-    hashes[0] = h
-    top = pw[k - 1]
-    for i in range(1, n - k + 1):
-        h = (h - arr[i - 1] * top) * base + arr[i + k - 1]
-        hashes[i] = h
-    m = len(hashes)
-    if m <= w:
-        return [int(hashes.min())]
-    # windowed minima (stride trick)
-    from numpy.lib.stride_tricks import sliding_window_view
-
-    mins = sliding_window_view(hashes, w).min(axis=1)
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        # closed form of the Rabin-Karp recurrence: h(i) = Σ_j byte[i+j] ·
+        # base^(k-1-j) mod 2^64 — one strided multiply+sum, no byte loop
+        pw = np.power(np.uint64(1000003),
+                      np.arange(k - 1, -1, -1, dtype=np.uint64))
+        win = sliding_window_view(arr, k)  # (n-k+1, k), zero-copy
+        hashes = (win * pw[None, :]).sum(axis=1, dtype=np.uint64)
+        m = len(hashes)
+        if m <= w:
+            return [int(hashes.min())]
+        # windowed minima (stride trick)
+        mins = sliding_window_view(hashes, w).min(axis=1)
     return sorted(set(int(x) for x in mins))

@@ -117,6 +117,19 @@ class MinHashSignatures:
 _EMPTY_PAIRS = {"doc_a": "int64", "doc_b": "int64", "jaccard_pct": "int64"}
 
 
+def _emit_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Distributed pair-gen: all (a < b) pairs within ONE colliding band
+    bucket (called per group from groupby(band).map_groups)."""
+    ids = sorted(set(g["doc_id"]))
+    if len(ids) < 2 or len(ids) > 200:  # skip degenerate giant buckets
+        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64"})
+    return pd.DataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
+        columns=["doc_a", "doc_b"],
+    ).astype({"doc_a": "int64", "doc_b": "int64"})
+
+
 def _pairs_from_collisions(coll: pd.DataFrame) -> pd.DataFrame:
     """Unique candidate (doc_a, doc_b) pairs from collision rows."""
     pairs = []
@@ -262,19 +275,8 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
 
     coll = sigs.map_batches(keep_hot, batch_format="pyarrow")
 
-    # distributed pair-gen: one group per COLLIDING band only
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2 or len(ids) > 200:  # skip degenerate giant buckets
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64"})
-        return pd.DataFrame(
-            [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
-            columns=["doc_a", "doc_b"],
-        ).astype({"doc_a": "int64", "doc_b": "int64"})
-
     cand = (
-        coll.groupby("band").map_groups(emit_pairs, batch_format="pandas")
+        coll.groupby("band").map_groups(_emit_pairs_group, batch_format="pandas")
         .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
         .drop_columns(["n_bands"])
         .materialize()
@@ -344,58 +346,148 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = 4  # 16-bit bands: Hamming ≤ 3 collides on ≥1 band (pigeonhole)
+
+_EMPTY_SIMHASH = {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
 
 
-def dedup_simhash(sf_dir: str) -> pd.DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures).
-    Bands of 16 bits → a pair within Hamming 3 collides on ≥1 of 4 bands
-    (pigeonhole); candidates verified exactly. Rows-only check."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
+class SimHashSignatures:
+    """Whole-batch SimHash signatures (functions/hashing.simhash_matrix:
+    memoized word hashes + one reduceat; bit-identical to the per-doc
+    simhash64 reference)."""
 
-    def sigs(t: pa.Table) -> pa.Table:
-        from ..functions.hashing import simhash64
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.hashing import simhash_matrix
 
-        ids = t["doc_id"].to_pylist()
-        hs = [simhash64(x) for x in t["text"].to_pylist()]
+        sig = simhash_matrix(t["text"].to_pylist())
         return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()),
-             "sig": pa.array(hs, pa.uint64())}
+            {"doc_id": t["doc_id"],
+             "sig": pa.array(sig, pa.uint64())}
         )
 
-    sig_df = ds.map_batches(sigs, batch_format="pyarrow").to_pandas()
-    sig_map = dict(zip(sig_df["doc_id"], sig_df["sig"]))
 
-    # band explode driver-side is fine here (4 rows per doc); at scale this
-    # is the same explode→groupby pattern as MinHash-LSH
-    rows = []
-    for doc_id, s in sig_map.items():
-        for b in range(4):
-            rows.append(((b, (int(s) >> (16 * b)) & 0xFFFF), doc_id))
-    buckets: dict = {}
-    for key, doc_id in rows:
-        buckets.setdefault(key, []).append(doc_id)
-    from ..functions.hashing import hamming64
-
-    seen_pairs = set()
-    out = []
-    for ids in buckets.values():
-        if len(ids) < 2:
-            continue
-        ids = sorted(ids)
-        for i, a in enumerate(ids):
-            for b in ids[i + 1 :]:
-                if (a, b) in seen_pairs:
-                    continue
-                seen_pairs.add((a, b))
-                d = hamming64(int(sig_map[a]), int(sig_map[b]))
-                if d <= SIMHASH_MAX_HAMMING:
-                    out.append((int(a), int(b), d))
-    return (
-        pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
-        .astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
+def _simhash_bands(t: pa.Table) -> pa.Table:
+    """Explode each 64-bit signature into SIMHASH_BANDS (band | value)
+    int64 keys — the same explode→groupby(band) shape as MinHash-LSH."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    s = t["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    bands = np.arange(SIMHASH_BANDS, dtype=np.uint64)
+    vals = (s[:, None] >> (bands * np.uint64(16))[None, :]) & np.uint64(0xFFFF)
+    keys = (vals | (bands[None, :] << np.uint64(48))).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(ids, SIMHASH_BANDS), pa.int64()),
+            "band": pa.array(keys.reshape(-1), pa.int64()),
+        }
     )
+
+
+def _simhash_verify(t: pa.Table) -> pa.Table:
+    """(doc_a, doc_b, sig_a, sig_b) → pairs with Hamming ≤ max (vectorized
+    XOR popcount)."""
+    from ..functions.hashing import hamming64_array
+
+    a = t["doc_a"].to_numpy(zero_copy_only=False)
+    b = t["doc_b"].to_numpy(zero_copy_only=False)
+    d = hamming64_array(
+        t["sig_a"].to_numpy(zero_copy_only=False),
+        t["sig_b"].to_numpy(zero_copy_only=False),
+    )
+    keep = d <= SIMHASH_MAX_HAMMING
+    return pa.table(
+        {
+            "doc_a": pa.array(a[keep].astype(np.int64)),
+            "doc_b": pa.array(b[keep].astype(np.int64)),
+            "hamming": pa.array(d[keep]),
+        }
+    )
+
+
+def dedup_simhash(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures),
+    16-bit-banded for candidates, verified exactly. Rows-only check.
+
+    Same size-adaptive tail as dedup_minhash_lsh, keyed on the
+    (doc, band) row count: driver tail below MINHASH_SMALL_LIMIT (the band
+    table is 16 B/row and the sig table 16 B/doc), distributed tail above
+    (hot-band count shuffle → groupby(band).map_groups pair-gen → verify
+    via two signature joins — signatures, never texts, move)."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(SimHashSignatures, batch_format="pyarrow",
+                          batch_size=256, concurrency=(2, 8)).materialize()
+    band_ds = sigs.map_batches(_simhash_bands, batch_format="pyarrow")
+
+    distributed = mode == "distributed" or (
+        mode == "auto"
+        and sigs.count() * SIMHASH_BANDS > MINHASH_SMALL_LIMIT
+    )
+
+    if not distributed:
+        band_df = band_ds.to_pandas()
+        vc = band_df["band"].value_counts()
+        coll = band_df[band_df["band"].isin(vc[vc > 1].index)]
+        cand = _pairs_from_collisions(coll)
+        if not len(cand):
+            return pd.DataFrame(columns=list(_EMPTY_SIMHASH)).astype(_EMPTY_SIMHASH)
+        sig_df = sigs.to_pandas()
+        sig_map = dict(zip(sig_df["doc_id"], sig_df["sig"]))
+        out = _simhash_verify(
+            pa.table(
+                {
+                    "doc_a": pa.array(cand["doc_a"], pa.int64()),
+                    "doc_b": pa.array(cand["doc_b"], pa.int64()),
+                    "sig_a": pa.array(
+                        [sig_map[a] for a in cand["doc_a"]], pa.uint64()),
+                    "sig_b": pa.array(
+                        [sig_map[b] for b in cand["doc_b"]], pa.uint64()),
+                }
+            )
+        ).to_pandas()
+        if not len(out):
+            return pd.DataFrame(columns=list(_EMPTY_SIMHASH)).astype(_EMPTY_SIMHASH)
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    # ---- distributed tail ----
+    from ray.data.aggregate import Count
+
+    hot = (
+        band_ds.groupby("band").aggregate(Count(alias_name="n"))
+        .filter(expr="n > 1")
+        .to_pandas()  # ONLY colliding bands reach the driver
+    )
+    if not len(hot):
+        return pd.DataFrame(columns=list(_EMPTY_SIMHASH)).astype(_EMPTY_SIMHASH)
+    hot_ref = ray.put(pa.array(hot["band"], pa.int64()))
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        from ..stages.fetch import cached_broadcast
+
+        return t.filter(pc.is_in(t["band"], value_set=cached_broadcast(hot_ref)))
+
+    cand = (
+        band_ds.map_batches(keep_hot, batch_format="pyarrow")
+        .groupby("band").map_groups(_emit_pairs_group, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+        .drop_columns(["n_bands"])
+        .materialize()
+    )
+    if cand.count() == 0:
+        return pd.DataFrame(columns=list(_EMPTY_SIMHASH)).astype(_EMPTY_SIMHASH)
+
+    j1 = cand.join(
+        sigs.rename_columns({"doc_id": "doc_a", "sig": "sig_a"}),
+        join_type="inner", num_partitions=8, on=("doc_a",),
+    )
+    j2 = j1.join(
+        sigs.rename_columns({"doc_id": "doc_b", "sig": "sig_b"}),
+        join_type="inner", num_partitions=8, on=("doc_b",),
+    )
+    out = j2.map_batches(_simhash_verify, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return pd.DataFrame(columns=list(_EMPTY_SIMHASH)).astype(_EMPTY_SIMHASH)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -104,6 +104,41 @@ def test_simhash_finds_exact_dups(planted_dir):
     assert (0, 40) in pairs and (0, 41) in pairs and (40, 41) in pairs
 
 
+def test_simhash_matrix_matches_per_doc_reference():
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.functions.hashing import (
+        hamming64,
+        hamming64_array,
+        simhash64,
+        simhash_matrix,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "one",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different words here entirely now",
+    ]
+    got = simhash_matrix(texts)
+    want = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    assert (got == want).all()
+    d = hamming64_array(got, np.roll(got, 1))
+    want_d = [hamming64(int(a), int(b)) for a, b in zip(got, np.roll(got, 1))]
+    assert d.tolist() == want_d
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_distributed_mode_matches_driver_mode(planted_dir):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        dedup_simhash,
+    )
+
+    drv = dedup_simhash(planted_dir, mode="driver")
+    dst = dedup_simhash(planted_dir, mode="distributed")
+    pd.testing.assert_frame_equal(drv, dst)
+    assert (0, 40) in set(zip(dst["doc_a"], dst["doc_b"]))
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_embedding_cosine_finds_planted(planted_dir):
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
