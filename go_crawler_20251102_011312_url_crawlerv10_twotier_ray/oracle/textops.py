@@ -1,0 +1,281 @@
+"""Pinned pure-Python reference implementations for the text/dedup
+operators whose semantics are not SQL-expressible, plus a minting step
+that materializes their expected outputs as parquet so the driver can
+hash-check them via ``read_parquet`` — the same trick the crawl loop uses
+(oracle/crawl_sim.py → oracle_* tables).
+
+These are deliberately naive per-doc loops, independent of the engine's
+vectorized kernels (pipelines/text.py, pipelines/dedup.py,
+functions/hashing.py): same mathematical definition, different code path.
+A divergence between engine and this module is a bug, not drift — do not
+"sync" them mechanically.
+
+Two operators stay rows-only by design: dedup_minhash_lsh and
+ann_lsh_topk are probabilistic (LSH recall < 1), so no deterministic
+oracle can equal their output; their quality is gated by pytest recall
+tests instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# frozen copies of the engine constants (pipelines/text.py, dedup.py) —
+# the oracle must not move when the engine is edited
+_LETTER = r"a-zA-ZäöüßéèêàçñÀ-ÿ"
+_WORD_RE = re.compile(f"[{_LETTER}]+")
+_STOPWORDS = {
+    "en": {"the", "and", "is", "in", "to", "of", "a", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "nicht", "mit", "für", "von"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "que", "dans"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "por", "para"},
+}
+_SHINGLE_K = 3
+_JACCARD_QUERY_THRESHOLD = 0.3  # dedup_ngram_jaccard default
+_SIMHASH_MAX_HAMMING = 3
+_WINNOW_K = 8
+_WINNOW_W = 16
+
+ORACLE_VERSION = "v1"  # bump to invalidate minted caches
+
+
+# ---------------------------------------------------------------------------
+# reference kernels (per doc, plain loops)
+# ---------------------------------------------------------------------------
+
+
+def ref_lang_id(text: str) -> tuple[str, int]:
+    """(lang_pred, hit_permille): maximal-letter-run decomposition +
+    case-insensitive stopword membership. The engine's boundary-anchored
+    alternation regex matches a stopword exactly when it is a complete
+    letter run, so run-membership counting is the same definition."""
+    runs = _WORD_RE.findall(text)
+    n_words = len(runs)
+    best_lang, best_hits = None, -1
+    for lang in sorted(_STOPWORDS):  # tie-break: first alphabetical max
+        sw = _STOPWORDS[lang]
+        hits = sum(1 for r in runs if r.lower() in sw)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    if best_hits == 0 or n_words == 0:
+        return "und", 0
+    return best_lang, best_hits * 1000 // max(n_words, 1)
+
+
+def ref_winnowing(text: str, k: int = _WINNOW_K, w: int = _WINNOW_W) -> list[int]:
+    """Winnowing fingerprints by direct (non-rolling) k-gram hashing:
+    h(i) = sum(byte[i+j] * base^(k-1-j)) mod 2^64 — the closed form of the
+    engine's Rabin-Karp recurrence — then plain-loop window minima."""
+    data = text.encode("utf-8", "replace")
+    n = len(data)
+    if n == 0:
+        return []
+    if n < k:
+        h = int.from_bytes(
+            hashlib.blake2b(data, digest_size=8).digest(), "little")
+        return [h & 0x7FFFFFFFFFFFFFFF]
+    base = 1000003
+    mask = (1 << 64) - 1
+    powers = [pow(base, k - 1 - j, 1 << 64) for j in range(k)]
+    hashes = []
+    for i in range(n - k + 1):
+        h = 0
+        for j in range(k):
+            h += data[i + j] * powers[j]
+        hashes.append(h & mask)
+    if len(hashes) <= w:
+        fps = {min(hashes)}
+    else:
+        fps = set()
+        for i in range(len(hashes) - w + 1):
+            fps.add(min(hashes[i : i + w]))
+    return sorted(f & 0x7FFFFFFFFFFFFFFF for f in fps)
+
+
+def ref_simhash(text: str) -> int:
+    """64-bit SimHash over word unigrams, plain per-bit loop."""
+    acc = [0] * 64
+    for word in text.split():
+        h = int.from_bytes(
+            hashlib.blake2b(word.encode(), digest_size=8).digest(), "little")
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def ref_word_shingle_set(text: str, k: int = _SHINGLE_K) -> frozenset:
+    """Word k-shingles as TUPLES (the engine hashes them to uint64; sets of
+    tuples give the same Jaccard barring 64-bit hash collisions)."""
+    words = text.split()
+    if not words:
+        return frozenset()
+    if len(words) < k:
+        return frozenset([tuple(words)])
+    return frozenset(tuple(words[i : i + k]) for i in range(len(words) - k + 1))
+
+
+def _jaccard(a: frozenset, b: frozenset) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+# ---------------------------------------------------------------------------
+# expected-output tables for one documents.parquet
+# ---------------------------------------------------------------------------
+
+
+def expected_lang_id(docs: pa.Table) -> pa.Table:
+    ids = docs["doc_id"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    texts = docs["text"].to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    preds, scores = [], []
+    for i in order:
+        p, s = ref_lang_id(texts[i])
+        preds.append(p)
+        scores.append(s)
+    return pa.table(
+        {
+            "doc_id": pa.array([ids[i] for i in order], pa.int64()),
+            "lang": pa.array([langs[i] for i in order], pa.string()),
+            "lang_pred": pa.array(preds, pa.string()),
+            "hit_permille": pa.array(scores, pa.int64()),
+        }
+    )
+
+
+def expected_winnowing(docs: pa.Table) -> pa.Table:
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    out_ids, out_fps = [], []
+    for i in order:
+        for f in ref_winnowing(texts[i]):
+            out_ids.append(ids[i])
+            out_fps.append(f)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "fp": pa.array(out_fps, pa.int64()),
+        }
+    )
+
+
+def expected_simhash_pairs(docs: pa.Table) -> pa.Table:
+    """ALL (a < b) pairs with Hamming ≤ 3 by brute force — independently
+    verifies the engine's banded candidate generation (pigeonhole: 4×16-bit
+    bands have recall 1 at Hamming ≤ 3, so equality must hold)."""
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    sigs = [(ids[i], ref_simhash(texts[i])) for i in order]
+    rows = []
+    for i in range(len(sigs)):
+        a, sa = sigs[i]
+        for j in range(i + 1, len(sigs)):
+            b, sb = sigs[j]
+            d = bin(sa ^ sb).count("1")
+            if d <= _SIMHASH_MAX_HAMMING:
+                rows.append((a, b, d))
+    rows.sort()
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "hamming": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def expected_ngram_jaccard(
+    docs: pa.Table, threshold: float = _JACCARD_QUERY_THRESHOLD
+) -> pa.Table:
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    sources = docs["source"].to_pylist()
+    by_source: dict[str, list[int]] = {}
+    for i in range(len(ids)):
+        by_source.setdefault(sources[i], []).append(i)
+    rows = []
+    for grp in by_source.values():
+        grp = sorted(grp, key=lambda i: ids[i])
+        sh = [ref_word_shingle_set(texts[i]) for i in grp]
+        for x in range(len(grp)):
+            for y in range(x + 1, len(grp)):
+                jac = _jaccard(sh[x], sh[y])
+                if jac >= threshold:
+                    rows.append(
+                        (ids[grp[x]], ids[grp[y]], int(round(jac * 100))))
+    rows.sort()
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard_pct": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# minting
+# ---------------------------------------------------------------------------
+
+_TABLES = {
+    "oracle_lang_id": expected_lang_id,
+    "oracle_winnowing": expected_winnowing,
+    "oracle_simhash_pairs": expected_simhash_pairs,
+    "oracle_ngram_jaccard": expected_ngram_jaccard,
+}
+
+
+def mint_text_oracles(sf_dir: str, base: str = "/tmp/graft_textoracle") -> str:
+    """Compute + cache the expected-output parquet for one sf dir. Pure
+    Python (no Ray) so oracle_sql() can call it. Returns the cache dir."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(base, f"{sf_name}-{ORACLE_VERSION}")
+    stamp = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(stamp):
+        return out_dir
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for name, fn in _TABLES.items():
+        pq.write_table(fn(docs), os.path.join(out_dir, f"{name}.parquet"))
+    with open(stamp, "w") as f:
+        f.write(ORACLE_VERSION)
+    return out_dir
+
+
+def oracle_sqls(sf_dir: str) -> dict[str, str]:
+    """Mint (cached) and return the read_parquet oracle SQL per query key."""
+    d = mint_text_oracles(sf_dir)
+    return {
+        "lang_id": (
+            f"SELECT * FROM read_parquet('{d}/oracle_lang_id.parquet') "
+            "ORDER BY doc_id"
+        ),
+        "doc_winnowing": (
+            f"SELECT * FROM read_parquet('{d}/oracle_winnowing.parquet') "
+            "ORDER BY doc_id, fp"
+        ),
+        "dedup_simhash": (
+            f"SELECT * FROM read_parquet('{d}/oracle_simhash_pairs.parquet') "
+            "ORDER BY doc_a, doc_b"
+        ),
+        "dedup_ngram_jaccard": (
+            f"SELECT * FROM read_parquet('{d}/oracle_ngram_jaccard.parquet') "
+            "ORDER BY doc_a, doc_b"
+        ),
+    }

@@ -59,18 +59,11 @@ def test_query_matches_oracle(name, con):
     pd.testing.assert_frame_equal(g, w, check_dtype=True)
 
 
+# only the probabilistic LSH queries lack oracles (recall < 1 by design;
+# pytest recall tests in test_dedup_ann.py gate their quality)
 ROWS_ONLY_MIN = {
-    "crawl_seen_set": 100,
-    "crawl_fetch_log": 100,
-    "crawl_downloads": 5,
-    "media_features": 100,
     "dedup_minhash_lsh": 0,
-    "dedup_simhash": 0,
-    "dedup_embedding_cosine": 0,
     "ann_lsh_topk": 1,
-    "doc_winnowing": 100,
-    "lang_id": 100,
-    "events_sessionize": 10,
 }
 
 
