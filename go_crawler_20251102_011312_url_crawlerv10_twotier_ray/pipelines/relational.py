@@ -29,6 +29,20 @@ def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _join_partitions(driving: rd.Dataset, rows_per_partition: int = 250_000,
+                     cap: int = 1024) -> int:
+    """Hash-join partition count sized by DATA VOLUME, not CPU count: each
+    all-to-all partition carries ~0.1 s of fixed scheduling/exchange cost
+    on this box, so small inputs want few partitions while 100 TB wants
+    thousands. ``driving.count()`` on an untransformed parquet read is a
+    metadata lookup, not a scan."""
+    try:
+        n = driving.count()
+    except Exception:
+        return 8
+    return max(4, min(cap, n // rows_per_partition + 1))
+
+
 # ---------------------------------------------------------------------------
 # q1: pricing summary (TPC-H Q1 shape) — filter + partial agg + groupby
 # ---------------------------------------------------------------------------
@@ -143,19 +157,24 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    try:
-        n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    except Exception:
-        n_part = 8
+    n_part = _join_partitions(line)
     joined = line.map_batches(rev, batch_format="pyarrow").join(
         orders_f, join_type="inner", num_partitions=n_part,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
+
+    # grouped sum on the join output, then per-batch top-10 so only 10
+    # rows/block reach the driver (never the full grouped table)
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue_c4", "l_orderkey"],
+                              ascending=[False, True]).head(10)
+
     out = (
         joined.groupby(["l_orderkey", "o_orderdate"])  # orderdate is
         # functionally dependent on the order key — grouping by both avoids
         # a (non-numeric) Min aggregate on the timestamp
         .aggregate(Sum("rev_c4", alias_name="revenue_c4"))
+        .map_batches(topk, batch_format="pandas")
         .to_pandas()
     )
     out = out.rename(columns={"l_orderkey": "o_orderkey"})
@@ -215,10 +234,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    try:
-        n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    except Exception:
-        n_part = 8
+    n_part = _join_partitions(line)
     joined = line.map_batches(rev_by_order, batch_format="pyarrow").join(
         orders, join_type="inner", num_partitions=n_part,
         on=("l_orderkey",), right_on=("o_orderkey",),
