@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_bruteforce_topk": ann.ann_bruteforce_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
+        "ann_ivf_topk": ann.ann_ivf_topk,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,

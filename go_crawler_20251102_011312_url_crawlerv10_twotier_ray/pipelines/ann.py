@@ -4,10 +4,16 @@
   broadcast once (``ray.put``), every batch does ONE float64 matmul against
   it (no Python loops), partial top-k per batch, final top-k merge on the
   tiny partials. SQL-checkable against DuckDB ``list_cosine_similarity``.
-- ``ann_lsh_topk``: the scale path — random-hyperplane LSH buckets
+- ``ann_lsh_topk``: a scale path — random-hyperplane LSH buckets
   (signed projections → bucket id), candidates only from matching buckets
   (multi-probe over all query buckets), exact re-rank of candidates.
   Approximate by construction → rows-only check + recall test in pytest.
+- ``ann_ivf_topk``: the other standard scale path — IVF coarse
+  quantization: deterministic spherical k-means centroids trained on a
+  BOUNDED sample (never the full corpus), every vector assigned to its
+  nearest centroid inside ``map_batches``, queries probe only their
+  ``nprobe`` nearest cells, exact re-rank on the probed cells. Approximate
+  → rows-only check + recall test in pytest.
 """
 
 from __future__ import annotations
@@ -212,6 +218,104 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     partials = (
         _emb(sf_dir)
         .map_batches(BucketMatch(ref), batch_format="pyarrow", batch_size=512)
+        .to_pandas()
+    )
+    if not len(partials):
+        return pd.DataFrame(
+            {"query_id": [], "vec_id": [], "rank": []}
+        ).astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+    return _final_topk(partials, TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+IVF_NLIST = 16       # number of coarse cells
+IVF_NPROBE = 6       # cells probed per query (~37% of a uniform corpus;
+                     # near-isotropic random embeddings are IVF's worst
+                     # case — clustered real embeddings need far fewer)
+IVF_SEED = 4242
+IVF_KMEANS_ITERS = 10
+IVF_TRAIN_SAMPLE = 100_000  # centroid training reads at most this many rows
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def _train_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic spherical k-means on a BOUNDED sample — at 100 TB the
+    training set stays IVF_TRAIN_SAMPLE rows; only the (nlist × dim)
+    centroid matrix is ever broadcast."""
+    sample = _emb(sf_dir).limit(IVF_TRAIN_SAMPLE).to_pandas()
+    mn = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(IVF_SEED)
+    k = min(IVF_NLIST, len(mn))
+    cent = mn[rng.choice(len(mn), size=k, replace=False)].copy()
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = (mn @ cent.T).argmax(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                v = mn[mask].sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """Approximate top-k via IVF: assign every vector to its nearest
+    centroid inside map_batches (one matmul per batch against the broadcast
+    (nlist × dim) centroids), keep only vectors whose cell is among a
+    query's nprobe nearest cells, exact re-rank. Same (query_id, vec_id,
+    rank) shape as the brute-force baseline; recall is pytest-gated."""
+    ids, qmat = _query_matrix(sf_dir)
+    cent = _train_centroids(sf_dir)
+    nprobe = min(IVF_NPROBE, len(cent))
+    # (n_q, nprobe) cell ids per query
+    qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    ref = ray.put((ids, qmat, cent, qcells))
+
+    class CellMatch:
+        def __init__(self, r):
+            self.ref = r
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from ..stages.fetch import cached_broadcast
+
+            qids, qm, ct, qc = cached_broadcast(self.ref)
+            vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+            mn = _normalize(
+                np.stack([np.asarray(v, dtype=np.float64)
+                          for v in t["embedding"].to_pylist()])
+            )
+            cells = (mn @ ct.T).argmax(axis=1)  # (n,)
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                hit = np.isin(cells, qc[j]) & (vids != qid)
+                if not hit.any():
+                    continue
+                sims = mn[hit] @ qm[j]
+                cids = vids[hit]
+                order = np.lexsort((cids, -sims))[:TOP_K]
+                out_q.extend([qid] * len(order))
+                out_v.extend(cids[order].tolist())
+                out_s.extend(sims[order].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = (
+        _emb(sf_dir)
+        .map_batches(CellMatch(ref), batch_format="pyarrow", batch_size=512)
         .to_pandas()
     )
     if not len(partials):

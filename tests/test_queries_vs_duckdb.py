@@ -64,6 +64,7 @@ def test_query_matches_oracle(name, con):
 ROWS_ONLY_MIN = {
     "dedup_minhash_lsh": 0,
     "ann_lsh_topk": 1,
+    "ann_ivf_topk": 1,
 }
 
 
