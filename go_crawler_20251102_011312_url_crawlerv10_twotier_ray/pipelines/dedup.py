@@ -291,13 +291,14 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     need_ids = ids_a.union(ids_b).unique("doc_id")
     need_ref = ray.put(pa.array(sorted(need_ids), pa.int64()))
     sh_ds = _packed_shingles_ds(sf_dir, need_ref).materialize()  # 2 joins
+    n_part = max(4, min(1024, cand.count() // 250_000 + 1))
     j1 = cand.join(
         sh_ds.rename_columns({"doc_id": "doc_a", "sh": "sh_a"}),
-        join_type="inner", num_partitions=8, on=("doc_a",),
+        join_type="inner", num_partitions=n_part, on=("doc_a",),
     )
     j2 = j1.join(
         sh_ds.rename_columns({"doc_id": "doc_b", "sh": "sh_b"}),
-        join_type="inner", num_partitions=8, on=("doc_b",),
+        join_type="inner", num_partitions=n_part, on=("doc_b",),
     )
     out = j2.map_batches(_verify_pairs_table, batch_format="pyarrow").to_pandas()
     if not len(out):
@@ -476,13 +477,14 @@ def dedup_simhash(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     if cand.count() == 0:
         return pd.DataFrame(columns=list(_EMPTY_SIMHASH)).astype(_EMPTY_SIMHASH)
 
+    n_part = max(4, min(1024, cand.count() // 250_000 + 1))
     j1 = cand.join(
         sigs.rename_columns({"doc_id": "doc_a", "sig": "sig_a"}),
-        join_type="inner", num_partitions=8, on=("doc_a",),
+        join_type="inner", num_partitions=n_part, on=("doc_a",),
     )
     j2 = j1.join(
         sigs.rename_columns({"doc_id": "doc_b", "sig": "sig_b"}),
-        join_type="inner", num_partitions=8, on=("doc_b",),
+        join_type="inner", num_partitions=n_part, on=("doc_b",),
     )
     out = j2.map_batches(_simhash_verify, batch_format="pyarrow").to_pandas()
     if not len(out):
