@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_fetch_log": cq.crawl_fetch_log,
         "crawl_downloads": cq.crawl_downloads,
         "media_features": cq.media_features_query,
+        "media_resize": cq.media_resize_query,
+        "media_frames": cq.media_frames_query,
         # --- relational surface (testdata TPC-H-ish tables) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -115,6 +117,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_fetch_log": cq.CRAWL_FETCH_LOG_SQL,
         "crawl_downloads": cq.CRAWL_DOWNLOADS_SQL,
         "media_features": cq.MEDIA_FEATURES_SQL,
+        "media_resize": cq.MEDIA_RESIZE_SQL,
+        "media_frames": cq.MEDIA_FRAMES_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -256,3 +256,44 @@ MEDIA_FEATURES_SQL = f"""
 SELECT url, n_bytes, format, width, height, feat_crc
 FROM read_parquet('{SF001_DIR}/oracle_media.parquet') ORDER BY url
 """
+
+
+def media_resize_query(sf_dir: str) -> pd.DataFrame:
+    """Aspect-fit resize plan per payload (actor-pool decode → exact
+    integer geometry). SQL oracle recomputes the geometry from the minted
+    decode table — the engine derives it from the PAYLOAD, so the hash
+    match verifies decode + resize end to end."""
+    from .multimodal import media_resize
+
+    return media_resize(corpus_for(sf_dir))
+
+
+def media_frames_query(sf_dir: str) -> pd.DataFrame:
+    """Stride frame sampling (one row per sampled frame — the one-to-many
+    explode of video pipelines) with deterministic per-frame checksums."""
+    from .multimodal import media_frame_sample
+
+    return media_frame_sample(corpus_for(sf_dir))
+
+
+# geometry/sampling constants are duplicated literally in the SQL (frozen
+# oracle): RESIZE_BOX=224, FRAME_BASE=8, FRAME_MOD=56, FRAME_STRIDE=4,
+# FRAME_CRC_MOD=2147483647 (pipelines/multimodal.py)
+MEDIA_RESIZE_SQL = f"""
+SELECT url, width, height,
+       CAST(width  * 224 // greatest(width, height) AS BIGINT) AS out_w,
+       CAST(height * 224 // greatest(width, height) AS BIGINT) AS out_h,
+       CAST(224 * 100 // greatest(width, height) AS BIGINT)    AS scale_pct
+FROM read_parquet('{SF001_DIR}/oracle_media.parquet') ORDER BY url
+"""
+
+MEDIA_FRAMES_SQL = f"""
+SELECT m.url,
+       CAST(f.frame_idx AS BIGINT) AS frame_idx,
+       CAST((m.feat_crc * 31 + f.frame_idx) % 2147483647 AS BIGINT)
+         AS frame_crc
+FROM read_parquet('{SF001_DIR}/oracle_media.parquet') m,
+     LATERAL unnest(generate_series(0, 8 + m.n_bytes % 56 - 1, 4))
+       AS f(frame_idx)
+ORDER BY m.url, frame_idx
+"""

@@ -118,3 +118,104 @@ def media_features(corpus_dir: str, concurrency: int = 2) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample stages (aspect-fit / stride sampling on decoded
+# metadata — exact integer semantics so the driver oracle is plain SQL over
+# the minted oracle_media table)
+# ---------------------------------------------------------------------------
+
+RESIZE_BOX = 224       # aspect-fit target box (out dims = dim*BOX // max(w,h))
+FRAME_BASE = 8         # synthetic "video" length: FRAME_BASE + n_bytes % 56
+FRAME_MOD = 56
+FRAME_STRIDE = 4       # sample every 4th frame
+FRAME_CRC_MOD = 2147483647
+
+
+class ResizeToBox:
+    """Actor-pool stage: decode payload → aspect-fit resize plan for a
+    RESIZE_BOX square. With a real codec the resampled pixels would be
+    produced here (setup-once per actor); without one, the stage computes
+    the exact output geometry — integer-exact, so it value-hashes against
+    SQL over the minted decode table. out_dim = dim * BOX // max(w, h)."""
+
+    def __init__(self):
+        self.has_real = _real_decode_available()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        payloads = t["html"].to_pylist()
+        ws, hs, ows, ohs, scales = [], [], [], [], []
+        for p in payloads:
+            _, w, h, _, _ = fake_decode(p or b"")
+            m = max(w, h)
+            ws.append(w)
+            hs.append(h)
+            ows.append(w * RESIZE_BOX // m)
+            ohs.append(h * RESIZE_BOX // m)
+            scales.append(RESIZE_BOX * 100 // m)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "out_w": pa.array(ows, pa.int64()),
+                "out_h": pa.array(ohs, pa.int64()),
+                "scale_pct": pa.array(scales, pa.int64()),
+            }
+        )
+
+
+class FrameSample:
+    """Actor-pool stage: treat each payload as an n-frame clip
+    (n = FRAME_BASE + n_bytes % FRAME_MOD) and emit every FRAME_STRIDE-th
+    frame as its own row — the one-to-many explode shape of real video
+    frame sampling, with a deterministic per-frame checksum derived from
+    the decoded feature checksum."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        payloads = t["html"].to_pylist()
+        out_u, out_i, out_c = [], [], []
+        for u, p in zip(urls, payloads):
+            p = p or b""
+            _, _, _, crc, _ = fake_decode(p)
+            n_frames = FRAME_BASE + len(p) % FRAME_MOD
+            idxs = np.arange(0, n_frames, FRAME_STRIDE, dtype=np.int64)
+            out_u.extend([u] * len(idxs))
+            out_i.extend(idxs.tolist())
+            out_c.extend(((crc * 31 + idxs) % FRAME_CRC_MOD).tolist())
+        return pa.table(
+            {
+                "url": pa.array(out_u, pa.string()),
+                "frame_idx": pa.array(out_i, pa.int64()),
+                "frame_crc": pa.array(out_c, pa.int64()),
+            }
+        )
+
+
+def media_resize(corpus_dir: str, concurrency: int = 2) -> pd.DataFrame:
+    from ..sources.pages import read_pages
+
+    return (
+        read_pages(corpus_dir, columns=["url", "html"])
+        .map_batches(ResizeToBox, batch_format="pyarrow", batch_size=32,
+                     concurrency=concurrency)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def media_frame_sample(corpus_dir: str, concurrency: int = 2) -> pd.DataFrame:
+    from ..sources.pages import read_pages
+
+    return (
+        read_pages(corpus_dir, columns=["url", "html"])
+        .map_batches(FrameSample, batch_format="pyarrow", batch_size=32,
+                     concurrency=concurrency)
+        .to_pandas()
+        .sort_values(["url", "frame_idx"])
+        .reset_index(drop=True)
+    )
