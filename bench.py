@@ -155,6 +155,18 @@ def run_bench() -> dict:
         jres.counters["scheduled_total"] / queries["crawl_join_steady"], 1
     )
 
+    # scan fetch mode (frontier ≪ corpus variant of the 100 TB path:
+    # stream the corpus, broadcast the frontier index — bodies never
+    # shuffle), same single steady epoch
+    t0 = time.perf_counter()
+    sres = run_crawl(corpus_dir, CrawlConfig(record_order=False,
+                                             fetch_mode="scan"),
+                     seeds=all_urls, max_epochs=1, collect=False)
+    queries["crawl_scan_steady"] = round(time.perf_counter() - t0, 3)
+    extra["crawl_scan_urls_per_sec"] = round(
+        sres.counters["scheduled_total"] / queries["crawl_scan_steady"], 1
+    )
+
     # --- generic operator surface over $GRAFT_SF_DIR ---
     for name, fn in [
         ("q1_pricing_summary", relational.q1_pricing_summary),

@@ -51,7 +51,11 @@ class CrawlConfig:
     # actor-pool size for the extract stage; None = stateless tasks
     extract_concurrency: int | None = None
     # fetch mode: "broadcast" (corpus index via ray.put — small corpora),
-    # "join" (Dataset.join on url — the 100 TB path), or "auto"
+    # "join" (Dataset.join on url — both sides huge), "scan" (stream the
+    # corpus + broadcast the scheduled-frontier index — the right 100 TB
+    # shape when frontier ≪ corpus: bodies never shuffle and no process
+    # holds the corpus), or "auto" (broadcast below broadcast_row_limit,
+    # else join)
     fetch_mode: str = "auto"
     # above this many corpus rows, "auto" switches broadcast -> join
     broadcast_row_limit: int = 2_000_000

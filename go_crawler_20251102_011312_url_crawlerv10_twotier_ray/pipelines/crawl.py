@@ -53,6 +53,7 @@ from ..stages.fetch import (
     FETCHED_SCHEMA,
     ExtractJoined,
     FetchAndExtract,
+    ScanFetch,
     add_fetch_key,
 )
 from ..stages.seen import ShardedSeen, wait_offers_received
@@ -494,6 +495,19 @@ def run_crawl(
                     batch_format="pyarrow",
                     batch_size=cfg.extract_batch_size,
                 )
+            elif mode == "scan":
+                # corpus scan + broadcast frontier index: bodies never
+                # shuffle, no process holds the corpus — right whenever
+                # frontier ≪ corpus (misses synthesized after the barrier)
+                from ..sources.pages import read_pages
+
+                sched_ref = ray.put(add_fetch_key(sched_tbl))
+                fetched = read_pages(pages_path, columns=["url", "html"]).map_batches(
+                    ScanFetch(sched_ref, cfg, seen.handles(),
+                              robots_disallow, epoch_token),
+                    batch_format="pyarrow",
+                    batch_size=cfg.extract_batch_size,
+                )
             else:
                 from ..sources.pages import read_pages
 
@@ -523,6 +537,23 @@ def run_crawl(
             # the fence below
             if fetched is not None:
                 fetched = fetched.materialize()
+            if mode == "scan" and fetched is not None and len(scheduled):
+                # scan emits only corpus hits — synthesize the 404/304 rows
+                # for scheduled keys the whole corpus lacks (keys-only
+                # collect; the driver frontier is already driver-resident)
+                hit_df = fetched.select_columns(["url"]).to_pandas()
+                hit_urls = set(hit_df["url"]) if len(hit_df) else set()
+                miss = scheduled[~scheduled["url"].isin(hit_urls)]
+                if len(miss):
+                    miss_tbl = add_fetch_key(pa.Table.from_pandas(
+                        miss[FRONTIER_COLS + ["revisit"]],
+                        preserve_index=False))
+                    miss_tbl = miss_tbl.append_column(
+                        "html", pa.array([None] * len(miss), pa.binary()))
+                    miss_out = ExtractJoined(
+                        cfg, seen.handles(), robots_disallow, epoch_token
+                    )(miss_tbl)
+                    fetched = fetched.union(rd.from_arrow(miss_out))
             _t = _tick("fetch+extract+offer", _t)
 
             # --- documents explode (+ offer/ok accounting) ---
@@ -942,6 +973,33 @@ def _run_crawl_dataset_frontier(
                         batch_format="pyarrow",
                         batch_size=cfg.extract_batch_size,
                     ).materialize()
+                elif mode == "scan":
+                    # corpus scan + frontier broadcast FROM BLOCK REFS (the
+                    # scheduled set never touches the driver); misses get a
+                    # keys-only anti-join, and only when the row counts say
+                    # some scheduled key found no page
+                    from ..sources.pages import read_pages
+
+                    marked2 = sched_ds.map_batches(
+                        add_fetch_key, batch_format="pyarrow",
+                        batch_size=cfg.extract_batch_size,
+                    ).materialize()
+                    sched_refs = marked2.to_arrow_refs()
+                    fetched = read_pages(
+                        pages_path, columns=["url", "html"]
+                    ).map_batches(
+                        ScanFetch(sched_refs, cfg, seen.handles(),
+                                  robots_disallow, epoch_token),
+                        batch_format="pyarrow",
+                        batch_size=cfg.extract_batch_size,
+                    ).materialize()
+                    if fetched.count() < marked2.count():
+                        fetched = fetched.union(
+                            _scan_misses_dataset(
+                                marked2, fetched, cfg, seen.handles(),
+                                robots_disallow, epoch_token,
+                            )
+                        ).materialize()
                 else:
                     from ..sources.pages import read_pages
 
@@ -1151,6 +1209,57 @@ def _empty_downloads(epoch: int) -> pa.Table:
             "filename": pa.array([], pa.string()),
             "epoch": pa.array([], pa.int32()),
         }
+    )
+
+
+class _NullHtmlExtract:
+    """Run the join-mode extract kernel over scheduled rows with no corpus
+    page (scan-mode misses): html=None → 404 (or 304 for revisit rows)."""
+
+    def __init__(self, cfg, seen_handles, robots_disallow, epoch_token):
+        self.inner = ExtractJoined(cfg, seen_handles, robots_disallow,
+                                   epoch_token)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if "hit" in t.column_names:
+            t = t.drop_columns(["hit"])
+        t = t.append_column(
+            "html", pa.array([None] * t.num_rows, pa.binary()))
+        return self.inner(t)
+
+
+def _scan_misses_dataset(marked2, fetched, cfg, seen_handles,
+                         robots_disallow, epoch_token):
+    """Dataset-frontier scan mode: synthesize 404/304 rows for scheduled
+    keys absent from the corpus via a KEYS-ONLY left anti-join (scheduled
+    rows vs the fetched url column) — no bodies, no driver pass."""
+    import pyarrow.compute as _pc
+
+    if fetched.count() == 0:
+        # nothing hit: every scheduled row is a miss, and an all-empty
+        # materialized dataset loses its schema (a zero-column block would
+        # crash the Acero join below)
+        return marked2.map_batches(
+            _NullHtmlExtract(cfg, seen_handles, robots_disallow,
+                             epoch_token),
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+        )
+
+    hit_keys = fetched.select_columns(["url"]).map_batches(
+        lambda t: t.append_column(
+            "hit", pa.array(np.ones(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+    missed = marked2.join(
+        hit_keys, join_type="left_outer", num_partitions=4, on=("url",),
+    ).map_batches(
+        lambda t: t.filter(_pc.is_null(t["hit"])), batch_format="pyarrow",
+    )
+    return missed.map_batches(
+        _NullHtmlExtract(cfg, seen_handles, robots_disallow, epoch_token),
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
     )
 
 

@@ -127,13 +127,42 @@ def test_crawl_with_robots(tiny_corpus_dir):
 
 @pytest.mark.usefixtures("ray_session")
 def test_crawl_join_mode(tiny_corpus_dir):
-    """Dataset.join fetch path (the 100 TB mode: no process holds the
+    """Dataset.join fetch path (both sides huge: no process holds the
     corpus) must be semantically identical to broadcast mode."""
     cfg = CrawlConfig(fetch_mode="join")
     o = crawl_sim.crawl(load_corpus_dict(tiny_corpus_dir), _seeds(tiny_corpus_dir),
                         CrawlConfig())
     e = run_crawl(tiny_corpus_dir, cfg)
     assert_matches_oracle(e, o)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_scan_mode(tiny_corpus_dir):
+    """Corpus-scan fetch path (frontier ≪ corpus: bodies never shuffle,
+    no process holds the corpus, misses synthesized driver-side) must be
+    semantically identical to broadcast mode — including 404s for
+    scheduled keys the corpus lacks and 304s for seed revisits."""
+    cfg = CrawlConfig(fetch_mode="scan")
+    o = crawl_sim.crawl(load_corpus_dict(tiny_corpus_dir), _seeds(tiny_corpus_dir),
+                        CrawlConfig())
+    e = run_crawl(tiny_corpus_dir, cfg)
+    assert_matches_oracle(e, o)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_scan_mode_dataset_frontier(tiny_corpus_dir):
+    """Scan fetch under the Dataset-native frontier (block-ref frontier
+    broadcast + keys-only anti-join for misses) must produce the same
+    counters as the broadcast run."""
+    ref = run_crawl(tiny_corpus_dir, CrawlConfig(record_order=False),
+                    collect=False)
+    e = run_crawl(tiny_corpus_dir,
+                  CrawlConfig(record_order=False, fetch_mode="scan"),
+                  collect=False)
+    for k in ("epochs", "pages_fetched", "scheduled_total"):
+        assert e.counters.get(k) == ref.counters.get(k), k
+    assert e.downloads.num_rows == ref.downloads.num_rows
+    assert e.downloads.sort_by("url").equals(ref.downloads.sort_by("url"))
 
 
 @pytest.mark.usefixtures("ray_session")
