@@ -294,6 +294,7 @@ def run_crawl(
     collect: bool = True,
     corpus_ref=None,
     seen_sink: str | None = None,
+    extracted_sink: str | None = None,
 ) -> CrawlRunResult:
     """Run the full crawl over a corpus directory (pages/seeds/politeness
     parquet as written by corpus.write_corpus). Ray must already be
@@ -348,6 +349,7 @@ def run_crawl(
         return _run_crawl_dataset_frontier(
             corpus_dir, cfg, seeds, host_budgets, robots_disallow,
             max_epochs, corpus_ref, mode, seen_sink=seen_sink,
+            extracted_sink=extracted_sink,
         )
 
     n_shards = cfg.seen_shards
@@ -682,6 +684,10 @@ def run_crawl(
                             cfg.checkpoint_dir, f"epoch={epoch}", "extracted"
                         )
                     )
+                if fetched is not None and extracted_sink:
+                    fetched.write_parquet(
+                        os.path.join(extracted_sink, f"epoch={epoch}")
+                    )
                 # (pages_fetched was tallied from the explode pipeline's
                 # stat rows above — no separate counts pipeline)
             acc["order"].append(order_tbl)
@@ -869,6 +875,7 @@ def _run_crawl_dataset_frontier(
     corpus_ref,
     mode: str,
     seen_sink: str | None = None,
+    extracted_sink: str | None = None,
 ) -> CrawlRunResult:
     """The 100 TB steady loop: the frontier is a ``ray.data.Dataset`` from
     seed to sink. Per epoch: (budget map_groups →) in-task revisit marking
@@ -1026,6 +1033,15 @@ def _run_crawl_dataset_frontier(
                         batch_format="pyarrow",
                         batch_size=cfg.extract_batch_size,
                     ).materialize()
+
+            if fetched is not None and extracted_sink:
+                # resumable output: one parquet directory per epoch,
+                # written distributed (extracted rows never pass through
+                # the driver) — a downstream consumer or a re-run can skip
+                # finished epoch partitions
+                fetched.write_parquet(
+                    os.path.join(extracted_sink, f"epoch={epoch}")
+                )
 
             # explode + counters (one pipeline), then fence + drain refs
             epoch_ok = 0

@@ -213,6 +213,32 @@ def test_crawl_multi_seed_and_custom_extensions(tiny_corpus_dir):
     )
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_dataset_frontier_extracted_sink(tiny_corpus_dir, tmp_path):
+    """extracted_sink writes one parquet directory per epoch (distributed
+    write — extracted rows never pass through the driver): the sinked
+    text must equal the collect=True run's per-url text byte-for-byte,
+    and the per-epoch partition layout must cover every epoch."""
+    import os
+
+    sink = str(tmp_path / "extracted")
+    cfg = CrawlConfig(record_order=False)
+    e = run_crawl(tiny_corpus_dir, cfg, collect=False, extracted_sink=sink)
+    ref = run_crawl(tiny_corpus_dir, CrawlConfig())
+    epochs = sorted(os.listdir(sink))
+    assert len(epochs) == e.n_epochs
+    t = pq.read_table(sink, columns=["url", "status", "text"])
+    assert t.num_rows == e.counters["scheduled_total"]
+    got = {u: x for u, s, x in zip(t["url"].to_pylist(),
+                                   t["status"].to_pylist(),
+                                   t["text"].to_pylist()) if s == 200}
+    want = {u: x for u, s, x in zip(ref.extracted["url"].to_pylist(),
+                                    ref.extracted["status"].to_pylist(),
+                                    ref.extracted["text"].to_pylist())
+            if s == 200}
+    assert got == want
+
+
 def _read_seen_sink(sink: str):
     t = pq.read_table(sink)
     return set(
