@@ -341,15 +341,15 @@ def run_crawl(
         and cfg.checkpoint_dir is None and not resume
     )
     if want_dataset:
-        if collect or cfg.record_order or cfg.checkpoint_dir or resume:
+        if collect or cfg.record_order:
             raise ValueError(
-                "frontier_mode='dataset' supports neither collect, the "
-                "rank trace, nor checkpoints — use frontier_mode='driver'"
+                "frontier_mode='dataset' supports neither collect nor the "
+                "rank trace — use frontier_mode='driver'"
             )
         return _run_crawl_dataset_frontier(
             corpus_dir, cfg, seeds, host_budgets, robots_disallow,
             max_epochs, corpus_ref, mode, seen_sink=seen_sink,
-            extracted_sink=extracted_sink,
+            extracted_sink=extracted_sink, resume=resume,
         )
 
     n_shards = cfg.seen_shards
@@ -876,6 +876,7 @@ def _run_crawl_dataset_frontier(
     mode: str,
     seen_sink: str | None = None,
     extracted_sink: str | None = None,
+    resume: bool = False,
 ) -> CrawlRunResult:
     """The 100 TB steady loop: the frontier is a ``ray.data.Dataset`` from
     seed to sink. Per epoch: (budget map_groups →) in-task revisit marking
@@ -926,6 +927,14 @@ def _run_crawl_dataset_frontier(
 
     epoch = 0
     scheduled_total = 0
+    if resume and cfg.checkpoint_dir:
+        st = _resume_dataset_state(cfg.checkpoint_dir, seen, res, dl_acc,
+                                   pending_retry)
+        if st is not None:
+            epoch = st["epoch"]
+            frontier_ds = st["frontier_ds"]
+            frontier_count = st["frontier_count"]
+            scheduled_total = st["scheduled_total"]
     try:
         while frontier_count > 0 or pending_retry:
             if max_epochs is not None and epoch >= max_epochs:
@@ -1156,6 +1165,18 @@ def _run_crawl_dataset_frontier(
                         "frontier_next": frontier_count,
                     }
                 )
+            if cfg.checkpoint_dir:
+                _ckpt_dataset_epoch(
+                    cfg.checkpoint_dir, epoch,
+                    frontier_ds if frontier_count else None, dl_tbl,
+                    {
+                        "pending_retry": [list(x) for x in pending_retry],
+                        "scheduled_total": scheduled_total,
+                        "pages_fetched": res.pages_fetched,
+                        "raw_keys": seen.keys("raw"),
+                        "frontier_count": frontier_count,
+                    },
+                )
             epoch += 1
     finally:
         seen.kill()
@@ -1171,6 +1192,102 @@ def _run_crawl_dataset_frontier(
     if metrics is not None:
         res.counters["metrics"] = ray.get(metrics.snapshot.remote())
     return res
+
+
+def _ckpt_dataset_epoch(ckpt_dir: str, epoch: int, frontier_ds,
+                        dl_tbl: pa.Table, meta: dict) -> None:
+    """Dataset-frontier checkpoint: the (possibly huge) next frontier is
+    written DISTRIBUTED as a parquet directory; only the downloads table,
+    the tiny seed-dispatch raw-key set and counters pass through the
+    driver. `_SUCCESS` is written last — an interrupted epoch is simply
+    re-run and its directory overwritten."""
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    d = ckpt.epoch_dir(ckpt_dir, epoch)
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    if frontier_ds is not None:
+        frontier_ds.write_parquet(os.path.join(d, "frontier_next"))
+    pq.write_table(dl_tbl, os.path.join(d, "downloads.parquet"))
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(d, "_SUCCESS"), "w") as f:
+        f.write("ok")
+
+
+class _ReplayNorms:
+    """Resume kernel: re-commit prior epochs' survivor norms into the
+    fresh seen shards (check_and_add is idempotent and order-independent
+    for membership, so the distributed replay needs no coordination)."""
+
+    def __init__(self, handles: list):
+        self.handles = handles
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.seen import check_and_add_batch
+
+        norms = t.filter(pc.equal(t["priority"], 0))["url_norm"].to_pylist()
+        if norms:
+            check_and_add_batch(self.handles, "norm", norms)
+        return pa.table({"n": pa.array([len(norms)], pa.int64())})
+
+
+def _resume_dataset_state(ckpt_dir: str, seen, res, dl_acc: list,
+                          pending_retry: list) -> dict | None:
+    """Rebuild dataset-frontier state from the last `_SUCCESS` epoch:
+    norm set ← distributed replay of every prior frontier_next's
+    priority-0 (survivor) rows — seeds are never in the seen set and
+    deferred rows re-appear with priority 1, so the replay is exact;
+    doc set ← distinct urls of the per-epoch downloads tables;
+    raw set + retry lane + counters ← meta.json."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    done = ckpt.complete_epochs(ckpt_dir)
+    if not done:
+        return None
+    last = done[-1]
+    with open(os.path.join(ckpt.epoch_dir(ckpt_dir, last), "meta.json")) as f:
+        meta = json.load(f)
+    pending_retry.extend(tuple(x) for x in meta["pending_retry"])
+    res.pages_fetched = meta["pages_fetched"]
+    doc_urls: set[str] = set()
+    for k in done:
+        t = pq.read_table(
+            os.path.join(ckpt.epoch_dir(ckpt_dir, k), "downloads.parquet"))
+        dl_acc.append(t)
+        doc_urls.update(t["url"].to_pylist())
+    if doc_urls:
+        seen.check_and_add("doc", sorted(doc_urls))
+    if meta["raw_keys"]:
+        seen.check_and_add("raw", meta["raw_keys"])
+    handles = seen.handles()
+    for k in done:
+        fdir = os.path.join(ckpt.epoch_dir(ckpt_dir, k), "frontier_next")
+        if not os.path.isdir(fdir):
+            continue
+        rd.read_parquet(fdir, columns=["url_norm", "priority"]).map_batches(
+            _ReplayNorms(handles), batch_format="pyarrow"
+        ).count()
+    frontier_ds = None
+    if meta["frontier_count"]:
+        fdir = os.path.join(ckpt.epoch_dir(ckpt_dir, last), "frontier_next")
+        frontier_ds = rd.read_parquet(fdir).map_batches(
+            _cast_frontier, batch_format="pyarrow"
+        ).materialize()
+    return {
+        "epoch": last + 1,
+        "frontier_ds": frontier_ds,
+        "frontier_count": meta["frontier_count"],
+        "scheduled_total": meta["scheduled_total"],
+    }
 
 
 def _drained_to_frontier(t: pa.Table) -> pa.Table:

@@ -138,6 +138,12 @@ class SeenShard:
     def size(self, kind: str) -> int:
         return len(self.exact[kind])
 
+    def dump_keys(self, kind: str) -> list[str]:
+        """Exact keys of ONE kind (dataset-mode checkpoint uses this for
+        the tiny 'raw' seed-dispatch set only; norm/doc state is rebuilt
+        from the per-epoch parquet instead of being dumped)."""
+        return sorted(self.exact[kind])
+
     def snapshot(self) -> dict:
         """Checkpoint payload: exact keys per kind + bloom digest."""
         return {
@@ -175,6 +181,12 @@ class ShardedSeen:
 
     def total(self, kind: str) -> int:
         return sum(ray.get([s.size.remote(kind) for s in self.shards]))
+
+    def keys(self, kind: str) -> list[str]:
+        out: list[str] = []
+        for part in ray.get([s.dump_keys.remote(kind) for s in self.shards]):
+            out.extend(part)
+        return sorted(out)
 
     def drain(self, kind: str):
         """Merged accepted (norm, key) pairs from all shards, norm-sorted,

@@ -8,6 +8,8 @@ Gates (SURVEY.md §5 / BASELINE north rule):
 under the same seed list + politeness budget — in broadcast and join fetch
 modes, with and without per-host budgets and robots rules."""
 
+import os
+
 import pyarrow.parquet as pq
 import pytest
 
@@ -211,6 +213,53 @@ def test_crawl_multi_seed_and_custom_extensions(tiny_corpus_dir):
     assert "html" in exts or any(
         ".html" in u for u in e.downloads["url"].to_pylist()
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dataset_frontier_checkpoint_resume(tiny_corpus_dir, tmp_path):
+    """Dataset-frontier checkpoint/resume: kill after 2 epochs, resume,
+    and the completed run must equal a straight run — counters, download
+    history, and the seen log (norm set rebuilt by distributed replay of
+    the per-epoch frontier parquet)."""
+    ck = str(tmp_path / "ck")
+    s1 = str(tmp_path / "seen1")
+    s2 = str(tmp_path / "seen2")
+
+    straight = run_crawl(
+        tiny_corpus_dir,
+        CrawlConfig(record_order=False, frontier_mode="dataset"),
+        collect=False, seen_sink=s1,
+    )
+    # partial run (killed after epoch 1), then resume to completion
+    run_crawl(
+        tiny_corpus_dir,
+        CrawlConfig(record_order=False, frontier_mode="dataset",
+                    checkpoint_dir=ck),
+        collect=False, max_epochs=2,
+    )
+    resumed = run_crawl(
+        tiny_corpus_dir,
+        CrawlConfig(record_order=False, frontier_mode="dataset",
+                    checkpoint_dir=ck),
+        collect=False, resume=True, seen_sink=s2,
+    )
+    assert resumed.n_epochs == straight.n_epochs
+    assert resumed.pages_fetched == straight.pages_fetched
+    assert (resumed.counters["scheduled_total"]
+            == straight.counters["scheduled_total"])
+    assert resumed.downloads.num_rows == straight.downloads.num_rows
+    assert resumed.downloads.sort_by("url").equals(
+        straight.downloads.sort_by("url"))
+    # the post-resume seen log must be exactly the straight run's log for
+    # epochs >= 2 (epochs 0-1 were committed before the kill)
+    full = _read_seen_sink(s1)
+    tail = _read_seen_sink(s2)
+    assert tail <= full
+    straight_tail = set()
+    for name in sorted(os.listdir(s1)):
+        if int(name.split("=", 1)[1]) >= 2:
+            straight_tail |= _read_seen_sink(os.path.join(s1, name))
+    assert tail == straight_tail
 
 
 @pytest.mark.usefixtures("ray_session")
