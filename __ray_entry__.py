@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": relational.events_hourly_window,
         "events_sliding_window": relational.events_sliding_window,
         "events_sessionize": relational.events_sessionize,
+        "events_asof_orders": relational.events_asof_orders,
+        "events_range_join": relational.events_range_join_counts,
         "top_customers": relational.top_customers,
         "part_type_counts": relational.part_type_counts,
         # --- training-data ops: dedup ---
@@ -125,6 +127,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_window": relational.EVENTS_WINDOW_SQL,
         "events_sliding_window": relational.EVENTS_SLIDING_SQL,
         "events_sessionize": relational.EVENTS_SESSION_SQL,
+        "events_asof_orders": relational.EVENTS_ASOF_SQL,
+        "events_range_join": relational.EVENTS_RANGE_SQL,
         "top_customers": relational.TOP_CUSTOMERS_SQL,
         "part_type_counts": relational.PART_TYPE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

@@ -504,3 +504,161 @@ SELECT p_type, count(*) AS n_parts,
        min(p_size) AS min_size, max(p_size) AS max_size
 FROM part GROUP BY p_type ORDER BY p_type
 """
+
+
+# ---------------------------------------------------------------------------
+# as-of join — events matched to each user's latest prior order. Ray Data
+# has no asof join; the canonical distributed shape is: align both sides
+# to a shared schema, co-partition by key (ONE shuffle via groupby), then
+# a per-group sorted merge (pandas merge_asof). DuckDB's native ASOF JOIN
+# is the oracle.
+# ---------------------------------------------------------------------------
+
+
+def events_asof_orders(sf_dir: str) -> pd.DataFrame:
+    """For every event: the same user's most recent order at ts ≥
+    orderdate (ties on (custkey, orderdate) broken by max orderkey on both
+    sides for determinism). Inner semantics — events with no prior order
+    are dropped. Returns (event_id, user_id, ts, o_orderkey, o_orderdate)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "t": t["ts"],
+                "event_id": t["event_id"].cast(pa.int64()),
+                "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    od = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["o_custkey"].cast(pa.int64()),
+                "t": t["o_orderdate"],
+                "event_id": pa.nulls(t.num_rows, pa.int64()),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        is_event = g["event_id"].notna()
+        evg = g[is_event][["event_id", "t"]].sort_values(
+            ["t", "event_id"], kind="mergesort")
+        odg = g[~is_event][["o_orderkey", "t"]]
+        if not len(evg) or not len(odg):
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "o_orderkey",
+                         "o_orderdate"])
+        # tie-break: one order per timestamp (max orderkey)
+        odg = odg.groupby("t", as_index=False)["o_orderkey"].max()
+        odg = odg.sort_values("t", kind="mergesort")
+        odg["o_orderdate"] = odg["t"]
+        m = pd.merge_asof(evg, odg, on="t", direction="backward")
+        m = m[m["o_orderkey"].notna()]
+        m["user_id"] = g["user_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "ts": m["t"],
+                "o_orderkey": m["o_orderkey"].astype("int64"),
+                "o_orderdate": m["o_orderdate"],
+            }
+        )
+
+    out = (
+        ev.union(od)
+        .groupby("user_id")
+        .map_groups(asof_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+    return out
+
+
+EVENTS_ASOF_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+FROM events e
+ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# range join — per event, how many events (any user) landed in the
+# preceding RANGE_WIN_MIN minutes (self-inclusive). Ray Data has no range
+# join; the scale shape is interval bucketing: probe rows land in their
+# own time bucket, build rows in their bucket AND the next one, so every
+# probe finds its full window inside ONE co-partitioned group — the
+# group count is bounded by the time span, not the row count. The oracle
+# is DuckDB's native range (IE) join.
+# ---------------------------------------------------------------------------
+
+RANGE_WIN_MIN = 5
+
+
+def events_range_join_counts(sf_dir: str) -> pd.DataFrame:
+    """(event_id, n_win): count of events with ts in (e.ts − 5 min, e.ts]
+    across all users. Within each bucket group the count is two vectorized
+    searchsorted probes on the sorted build-side timestamps."""
+    win_us = RANGE_WIN_MIN * 60 * 1_000_000
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = ts // win_us
+        # probe copy (role 0) in its own bucket; build copies (role 1) in
+        # own + next bucket so any probe's window is fully local
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.concatenate([bucket, bucket, bucket + 1])),
+                "role": pa.array(np.repeat(
+                    np.array([0, 1, 1], np.int8), len(ts))),
+                "ts_us": pa.array(np.concatenate([ts, ts, ts])),
+                "event_id": pa.array(np.concatenate([ids, ids, ids])),
+            }
+        )
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        probes = g[g["role"] == 0]
+        if not len(probes):
+            return pd.DataFrame({"event_id": [], "n_win": []}).astype(
+                {"event_id": "int64", "n_win": "int64"})
+        build = np.sort(g[g["role"] == 1]["ts_us"].to_numpy())
+        ts = probes["ts_us"].to_numpy()
+        n = (np.searchsorted(build, ts, side="right")
+             - np.searchsorted(build, ts - win_us, side="right"))
+        return pd.DataFrame(
+            {"event_id": probes["event_id"].astype("int64"),
+             "n_win": n.astype("int64")}
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_RANGE_SQL = f"""
+SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_win
+FROM events a JOIN events b
+  ON b.ts > a.ts - INTERVAL {RANGE_WIN_MIN} MINUTE AND b.ts <= a.ts
+GROUP BY a.event_id ORDER BY a.event_id
+"""
