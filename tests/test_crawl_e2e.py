@@ -152,6 +152,64 @@ def test_crawl_scan_mode(tiny_corpus_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_crawl_scan_mode_with_budgets(tiny_corpus_dir):
+    """Scan mode composed with per-host politeness budgets (deferrals +
+    priority lanes) must still equal the oracle."""
+    cfg = CrawlConfig(fetch_mode="scan")
+    budgets = {"host00.test": 4, "host01.test": 3}
+    o = crawl_sim.crawl(
+        load_corpus_dict(tiny_corpus_dir), _seeds(tiny_corpus_dir),
+        CrawlConfig(), host_budgets=budgets,
+    )
+    e = run_crawl(tiny_corpus_dir, cfg, host_budgets=budgets)
+    assert_matches_oracle(e, o)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scan_fetch_multi_match(ray_session):
+    """Two scheduled rows sharing one fetch_key (a seed-revisit twin) must
+    BOTH be emitted from the single matching corpus row."""
+    import pyarrow as pa
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.stages.fetch import (
+        ScanFetch,
+        add_fetch_key,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.stages.seen import (
+        ShardedSeen,
+    )
+    import ray as _ray
+
+    seen = ShardedSeen(2)
+    try:
+        sched = add_fetch_key(pa.table(
+            {
+                "url": ["http://h.test/a", "http://h.test/a#frag"],
+                "url_norm": ["http://h.test/a"] * 2,
+                "host": ["h.test"] * 2,
+                "depth": pa.array([0, 0], pa.int32()),
+                "priority": pa.array([0, 0], pa.int32()),
+                "revisit": [False, True],
+            }
+        ))
+        assert len(set(sched["fetch_key"].to_pylist())) == 1
+        ref = _ray.put(sched)
+        sf = ScanFetch(ref, CrawlConfig(), seen.handles(), {}, "tok-mm")
+        corpus_batch = pa.table(
+            {
+                "url": [sched["fetch_key"][0].as_py(), "http://other.test/x"],
+                "html": [b"<html><a href=\"/b\">b</a></html>", b"<html></html>"],
+            }
+        )
+        out = sf(corpus_batch)
+        assert out.num_rows == 2
+        statuses = sorted(out["status"].to_pylist())
+        assert statuses == [200, 304]  # primary fetched, twin revisit-304
+    finally:
+        seen.kill()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_crawl_scan_mode_dataset_frontier(tiny_corpus_dir):
     """Scan fetch under the Dataset-native frontier (block-ref frontier
     broadcast + keys-only anti-join for misses) must produce the same
