@@ -38,6 +38,16 @@ LSH_PLANES = 6
 LSH_SEED = 777
 
 
+
+def _emb_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, float64 matrix) from a batch — the fixed-dim list<float>
+    column flattens to its contiguous values buffer (zero-copy from the
+    object store), no per-row Python."""
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = t["embedding"].combine_chunks()
+    m = col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), -1)
+    return ids, m.astype(np.float64)
+
 def _emb(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"])
@@ -69,9 +79,7 @@ class _BatchTopK:
         from ..stages.fetch import cached_broadcast
 
         qids, qmat = cached_broadcast(self.ref)
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in t["embedding"].to_pylist()])
+        ids, m = _emb_rows(t)
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         sims = (m / norms[:, None]) @ qmat.T  # (batch, n_queries)
@@ -186,9 +194,7 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
             from ..stages.fetch import cached_broadcast
 
             qids, qm, pl, prb = cached_broadcast(self.ref)
-            vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-            m = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in t["embedding"].to_pylist()])
+            vids, m = _emb_rows(t)
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
             mn = m / norms[:, None]
@@ -288,11 +294,8 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
             from ..stages.fetch import cached_broadcast
 
             qids, qm, ct, qc = cached_broadcast(self.ref)
-            vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-            mn = _normalize(
-                np.stack([np.asarray(v, dtype=np.float64)
-                          for v in t["embedding"].to_pylist()])
-            )
+            vids, m = _emb_rows(t)
+            mn = _normalize(m)
             cells = (mn @ ct.T).argmax(axis=1)  # (n,)
             out_q, out_v, out_s = [], [], []
             for j, qid in enumerate(qids):

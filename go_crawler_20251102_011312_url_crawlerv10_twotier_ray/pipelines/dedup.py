@@ -513,9 +513,9 @@ def _emb_ds(sf_dir: str) -> rd.Dataset:
 
 
 def _norm_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    m = np.stack([np.asarray(v, dtype=np.float64)
-                  for v in t["embedding"].to_pylist()])
+    from .ann import _emb_rows
+
+    ids, m = _emb_rows(t)
     n = np.linalg.norm(m, axis=1)
     n[n == 0] = 1.0
     return ids, m / n[:, None]
