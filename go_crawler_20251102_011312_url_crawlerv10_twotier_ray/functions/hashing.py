@@ -73,6 +73,11 @@ def shingles(text: str, k: int = 3) -> np.ndarray:
     once (memoized per process), shingle hashes combine the k word hashes
     with position-dependent odd multipliers — fully vectorized, no per-
     shingle digest calls."""
+    if k > len(_POS3):
+        raise ValueError(
+            f"shingle k={k} exceeds the {len(_POS3)} precomputed position "
+            "constants — extend _POS3 (_pos_constants) first"
+        )
     words = text.split()
     n = len(words)
     if n == 0:

@@ -300,6 +300,12 @@ def run_crawl(
     parquet as written by corpus.write_corpus). Ray must already be
     initialised by the caller.
 
+    Data contract: the pages table is keyed by ``url`` and MUST be unique
+    per url (corpus.write_corpus guarantees it). Every fetch mode assumes
+    it — the broadcast index keeps one row per key, the hash join and the
+    scan path would both emit duplicate fetches (and the scan's
+    count-based miss detection would be masked) on a corpus with dup urls.
+
     ``collect=False`` keeps page-scale outputs distributed (extracted rows
     are written per-epoch via ``Dataset.write_parquet`` when a checkpoint
     dir is set, or just counted) — the 100 TB mode; the driver only ever
@@ -423,6 +429,13 @@ def run_crawl(
                 ]
             except FileNotFoundError:
                 pending_retry = []
+            if pending_retry:
+                # a doc deferred over the download budget was doc-seen-added
+                # in its discovery epoch but has no downloads row yet — the
+                # retry lane alone carries it, so re-add it to the doc set
+                # or a later link to the same doc double-queues it
+                seen.check_and_add(
+                    "doc", sorted({u for u, _, _ in pending_retry}))
 
     import sys as _sys
     import time as _time
@@ -672,9 +685,8 @@ def run_crawl(
                     "epoch", pa.array([epoch] * ext_tbl.num_rows, pa.int32())
                 )
                 acc["extracted"].append(ext_tbl)
-                res.pages_fetched += int(
-                    pa.compute.sum(ext_tbl["ok"]).as_py() or 0
-                )
+                # (res.pages_fetched is set from the concatenated extracted
+                # table after the loop in collect mode)
             else:
                 ext_tbl = None
                 if fetched is not None and cfg.checkpoint_dir:
@@ -833,35 +845,80 @@ def _cast_frontier(t: pa.Table) -> pa.Table:
     )
 
 
-class MarkRevisitsInTask:
-    """Dataset-frontier revisit marking (T2) without any driver pass: only
-    SEED raws can ever repeat (pipelines/crawl._mark_revisits proof), so
-    each batch asks the seen shards' atomic ``raw`` check-and-add for just
-    its seed rows — first dispatch wins globally, exactly colly's internal
-    revisit filter."""
+class _KeepSeedRows:
+    """Filter a frontier batch down to rows whose raw url is a seed (the
+    only urls that can repeat — pipelines/crawl._mark_revisits proof)."""
 
-    def __init__(self, seed_ref, seen_handles: list):
+    def __init__(self, seed_ref):
         self.seed_ref = seed_ref
-        self.seen_handles = seen_handles
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         from ..stages.fetch import cached_broadcast
-        from ..stages.seen import check_and_add_batch
+
+        return t.select(["url", "url_norm", "host", "depth", "priority"]).filter(
+            pc.is_in(t["url"], value_set=cached_broadcast(self.seed_ref))
+        )
+
+
+def _resolve_seed_revisits(sched_ds, seed_ref, seen) -> dict:
+    """T2 raw-revisit decisions for one dataset-mode epoch, resolved
+    DETERMINISTICALLY on the driver: the seed-matching rows (≤ n_seeds —
+    bounded regardless of frontier size) are collected, ordered by the
+    schedule comparator (-priority, host, url_norm, url; depth ascending
+    as the final tie-break), and the first occurrence per raw url that the
+    shards' ``raw`` state accepts becomes the winner. A shard-side
+    first-come check_and_add inside the fetch tasks would instead resolve
+    same-epoch duplicates by actor-call race (and a Ray task retry would
+    re-ask and corrupt a genuine first dispatch into a 304)."""
+    seed_hits = _collect(sched_ds.map_batches(
+        _KeepSeedRows(seed_ref), batch_format="pyarrow"))
+    if seed_hits is None or seed_hits.num_rows == 0:
+        return {}
+    shp = seed_hits.to_pandas().sort_values(
+        ["priority", "host", "url_norm", "url", "depth"],
+        ascending=[False, True, True, True, True], kind="mergesort",
+    ).drop_duplicates("url", keep="first")
+    fresh = seen.check_and_add("raw", shp["url"].tolist())
+    return {
+        u: (int(d), int(p))
+        for u, d, p, ok in zip(shp["url"], shp["depth"], shp["priority"],
+                               fresh)
+        if ok
+    }
+
+
+class MarkRevisitsInTask:
+    """Dataset-frontier revisit marking (T2): pure broadcast-lookup
+    against the per-epoch winner decisions (_resolve_seed_revisits) — no
+    shard RPC in the fetch path, deterministic under task retries. A
+    seed-raw row is a revisit unless it IS the winner row."""
+
+    def __init__(self, seed_ref, winners_ref):
+        self.seed_ref = seed_ref
+        self.winners_ref = winners_ref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.fetch import cached_broadcast
 
         seeds = cached_broadcast(self.seed_ref)
+        winners = cached_broadcast(self.winners_ref)
         mask = pc.is_in(t["url"], value_set=seeds).to_numpy(
             zero_copy_only=False
         )
         revisit = np.zeros(t.num_rows, dtype=bool)
         idx = np.nonzero(mask)[0]
         if len(idx):
-            urls = pc.array_take(
-                t["url"].combine_chunks(), pa.array(idx)
-            ).to_pylist()
-            fresh = check_and_add_batch(self.seen_handles, "raw", urls)
-            revisit[idx] = ~fresh
+            take = pa.array(idx)
+            urls = pc.array_take(t["url"].combine_chunks(), take).to_pylist()
+            depths = pc.array_take(t["depth"].combine_chunks(), take).to_pylist()
+            prios = pc.array_take(
+                t["priority"].combine_chunks(), take).to_pylist()
+            for j, (u, d, pr) in enumerate(zip(urls, depths, prios)):
+                revisit[idx[j]] = winners.get(u) != (int(d), int(pr))
         return t.append_column("revisit", pa.array(revisit))
 
 
@@ -935,9 +992,12 @@ def _run_crawl_dataset_frontier(
             frontier_ds = st["frontier_ds"]
             frontier_count = st["frontier_count"]
             scheduled_total = st["scheduled_total"]
+    start_epoch = epoch
     try:
         while frontier_count > 0 or pending_retry:
-            if max_epochs is not None and epoch >= max_epochs:
+            # max_epochs counts epochs run in THIS invocation (driver-loop
+            # parity: a resumed run asked for N epochs does N more)
+            if max_epochs is not None and epoch - start_epoch >= max_epochs:
                 break
             deferred_ds = None
             deferred_count = 0
@@ -977,8 +1037,10 @@ def _run_crawl_dataset_frontier(
                         .materialize()
                     )
                     deferred_count = deferred_ds.count()
+                winners_ref = ray.put(
+                    _resolve_seed_revisits(sched_ds, seed_ref, seen))
                 sched_ds = sched_ds.map_batches(
-                    MarkRevisitsInTask(seed_ref, seen.handles()),
+                    MarkRevisitsInTask(seed_ref, winners_ref),
                     batch_format="pyarrow",
                 )
                 epoch_token = f"{uuid.uuid4().hex[:8]}-{epoch}"
@@ -1264,6 +1326,8 @@ def _resume_dataset_state(ckpt_dir: str, seen, res, dl_acc: list,
             os.path.join(ckpt.epoch_dir(ckpt_dir, k), "downloads.parquet"))
         dl_acc.append(t)
         doc_urls.update(t["url"].to_pylist())
+    doc_urls.update(u for u, _, _ in pending_retry)  # budget-deferred
+    # docs live only in the retry lane until attempted — see driver resume
     if doc_urls:
         seen.check_and_add("doc", sorted(doc_urls))
     if meta["raw_keys"]:

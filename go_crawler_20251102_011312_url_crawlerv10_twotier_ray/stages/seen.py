@@ -249,9 +249,13 @@ def wait_offers_received(shard_handles: list, kind: str, expected: int,
                          timeout: float = 120.0) -> int:
     """Block until the shard pool has processed ≥ ``expected`` offer
     entries (fire-and-forget sends are reliable but async; a task retry can
-    only overshoot, so ``>=`` is the right fence)."""
+    only overshoot, so ``>=`` is the right fence). ``timeout`` is a STALL
+    timeout — it resets whenever the received count grows, so a huge but
+    draining backlog never false-aborts; only zero progress for the full
+    window raises."""
     import time
 
+    last = -1
     deadline = time.monotonic() + timeout
     while True:
         got = sum(
@@ -259,10 +263,14 @@ def wait_offers_received(shard_handles: list, kind: str, expected: int,
         )
         if got >= expected:
             return got
-        if time.monotonic() > deadline:
+        if got > last:
+            last = got
+            deadline = time.monotonic() + timeout
+        elif time.monotonic() > deadline:
             raise TimeoutError(
-                f"seen shards received {got}/{expected} offers within "
-                f"{timeout}s — a fetch worker likely died mid-send"
+                f"seen shards received {got}/{expected} offers with no "
+                f"progress for {timeout}s — a fetch worker likely died "
+                "mid-send"
             )
         time.sleep(0.005)
 

@@ -52,6 +52,17 @@ class CrawlMetrics:
                 file=sys.stderr, flush=True,
             )
 
+    def reset(self, echo: bool | None = None) -> None:
+        """Start-of-run reset: the actor is NAMED and outlives run_crawl
+        calls (so external observers keep one address), but each run's
+        attached snapshot must describe that run only."""
+        if echo is not None:
+            self.echo = echo
+        self.t0 = time.time()
+        self.epochs = []
+        for k in self.totals:
+            self.totals[k] = 0
+
     def snapshot(self) -> dict:
         return {
             "totals": dict(self.totals),
@@ -61,12 +72,15 @@ class CrawlMetrics:
 
 
 def get_or_create_metrics(echo: bool = False):
-    """Named detached-from-callers handle (lifetime = driver session)."""
+    """Named handle (lifetime = driver session); gauges are RESET for the
+    caller's run so counters["metrics"] describes one crawl."""
     try:
-        return ray.get_actor(METRICS_ACTOR_NAME)
+        h = ray.get_actor(METRICS_ACTOR_NAME)
     except ValueError:
         cls = ray.remote(num_cpus=0.01)(CrawlMetrics)
         try:
-            return cls.options(name=METRICS_ACTOR_NAME).remote(echo)
+            h = cls.options(name=METRICS_ACTOR_NAME).remote(echo)
         except ValueError:  # raced another creator
-            return ray.get_actor(METRICS_ACTOR_NAME)
+            h = ray.get_actor(METRICS_ACTOR_NAME)
+    ray.get(h.reset.remote(echo))
+    return h

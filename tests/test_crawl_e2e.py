@@ -321,6 +321,77 @@ def test_dataset_frontier_checkpoint_resume(tiny_corpus_dir, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_dataset_resume_with_download_budget(tiny_corpus_dir, tmp_path):
+    """A doc deferred over the download budget lives only in the retry
+    lane at checkpoint time; resume must re-add it to the doc seen set or
+    a later link double-queues it (code-review regression)."""
+    ck = str(tmp_path / "ckb")
+    cfg_kw = dict(record_order=False, frontier_mode="dataset",
+                  download_budget_per_epoch=2)
+    straight = run_crawl(tiny_corpus_dir, CrawlConfig(**cfg_kw),
+                         collect=False)
+    run_crawl(tiny_corpus_dir, CrawlConfig(checkpoint_dir=ck, **cfg_kw),
+              collect=False, max_epochs=2)
+    resumed = run_crawl(tiny_corpus_dir, CrawlConfig(checkpoint_dir=ck,
+                                                     **cfg_kw),
+                        collect=False, resume=True)
+    assert resumed.downloads.num_rows == straight.downloads.num_rows
+    assert resumed.downloads.sort_by("url").equals(
+        straight.downloads.sort_by("url"))
+    # no url may appear twice at the same attempt (the double-queue shape)
+    dl = resumed.downloads.to_pandas()
+    assert not dl.duplicated(["url", "attempt"]).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_readds_budget_deferred_docs_to_doc_set(tmp_path):
+    """Unit check of the rebuild: a doc url living ONLY in the checkpoint's
+    pending_retry lane (no downloads row yet) must be back in the doc seen
+    set after _resume_dataset_state, or a later link double-queues it."""
+    import json
+
+    import pyarrow as pa
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.crawl import (
+        CrawlRunResult,
+        _resume_dataset_state,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.stages.seen import (
+        ShardedSeen,
+    )
+
+    ck = tmp_path / "ck"
+    d = ck / "epoch=0"
+    d.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"url": pa.array([], pa.string()),
+                  "depth": pa.array([], pa.int32()),
+                  "attempt": pa.array([], pa.int32()),
+                  "ok": pa.array([], pa.bool_()),
+                  "bytes": pa.array([], pa.int64()),
+                  "filename": pa.array([], pa.string()),
+                  "epoch": pa.array([], pa.int32())}),
+        str(d / "downloads.parquet"))
+    (d / "meta.json").write_text(json.dumps({
+        "pending_retry": [["http://h.test/deferred.pdf", 1, 0]],
+        "scheduled_total": 5, "pages_fetched": 5,
+        "raw_keys": [], "frontier_count": 0,
+    }))
+    (d / "_SUCCESS").write_text("ok")
+
+    seen = ShardedSeen(2)
+    try:
+        pending = []
+        st = _resume_dataset_state(str(ck), seen, CrawlRunResult(), [],
+                                   pending)
+        assert st is not None and pending
+        fresh = seen.check_and_add("doc", ["http://h.test/deferred.pdf"])
+        assert not fresh[0], "deferred doc must already be doc-seen"
+    finally:
+        seen.kill()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dataset_frontier_extracted_sink(tiny_corpus_dir, tmp_path):
     """extracted_sink writes one parquet directory per epoch (distributed
     write — extracted rows never pass through the driver): the sinked
@@ -434,8 +505,10 @@ def test_crawl_live_metrics(tiny_corpus_dir):
     cfg = CrawlConfig(live_metrics=True)
     e = run_crawl(tiny_corpus_dir, cfg)
     snap = e.counters["metrics"]
-    assert snap["n_epochs"] >= e.n_epochs
-    tail = snap["epochs"][-e.n_epochs:]
+    # the named actor is reset per run: the snapshot describes THIS run
+    assert snap["n_epochs"] == e.n_epochs
+    tail = snap["epochs"]
+    assert snap["totals"]["fetched_ok"] == e.pages_fetched
     assert sum(g["fetched_ok"] for g in tail) == e.pages_fetched
     assert sum(g["scheduled"] for g in tail) == e.order.num_rows
     assert tail[-1]["seen_total"] == e.seen.num_rows
