@@ -620,59 +620,10 @@ def run_crawl(
 
             # --- documents -> cross-epoch dedup -> simulated download ---
             # (retry lane first with priority, then new tasks — T8)
-            new_tasks: list[tuple[str, int, int]] = []
-            if docs is not None and docs.num_rows:
-                ddf = docs.to_pandas().sort_values(
-                    ["p_priority", "p_host", "p_norm", "p_url"],
-                    ascending=[False, True, True, True],
-                    kind="mergesort",
-                ).drop_duplicates("url", keep="first")
-                new_mask = seen.check_and_add("doc", ddf["url"].tolist())
-                ddf = ddf[new_mask]
-                new_tasks = [
-                    (u, int(d), 0)
-                    for u, d in sorted(zip(ddf["url"], ddf["depth"]))
-                ]
-            work = sorted(pending_retry) + new_tasks
-            pending_retry = []
-            if cfg.download_budget_per_epoch > 0:
-                # T5 global limiter (downloader.go:82 analogue): the over-
-                # budget tail carries to the next epoch's priority lane
-                # unchanged — shared spec with oracle/crawl_sim.py
-                pending_retry = work[cfg.download_budget_per_epoch:]
-                work = work[: cfg.download_budget_per_epoch]
-            dl_tbl = _empty_downloads(epoch)
-            if work:
-                d_tbl = pa.table(
-                    {
-                        "url": pa.array([w[0] for w in work], pa.string()),
-                        "depth": pa.array([w[1] for w in work], pa.int32()),
-                        "attempt": pa.array([w[2] for w in work], pa.int32()),
-                    }
-                )
-                if mode == "broadcast":
-                    dl_ds = rd.from_arrow(d_tbl).map_batches(
-                        DownloadSim(cfg, corpus_ref),
-                        batch_format="pyarrow",
-                    )
-                    dl_out = _collect(dl_ds)
-                else:
-                    dl_out = _download_join(d_tbl, pages_path, cfg)
-                if dl_out is not None:
-                    ddl = dl_out.to_pandas().sort_values(
-                        ["url", "attempt"], kind="mergesort"
-                    )
-                    failed = ddl[~ddl["ok"] & (ddl["attempt"] < cfg.max_retries)]
-                    pending_retry.extend(
-                        (u, int(d), int(a) + 1)
-                        for u, d, a in zip(failed["url"], failed["depth"],
-                                           failed["attempt"])
-                    )
-                    dl_tbl = pa.Table.from_pandas(
-                        ddl, preserve_index=False
-                    ).append_column(
-                        "epoch", pa.array([epoch] * len(ddl), pa.int32())
-                    )
+            dl_tbl, pending_retry, n_new_docs = _download_lane(
+                docs, pending_retry, seen, cfg, mode, corpus_ref,
+                pages_path, epoch,
+            )
 
             _t = _tick("documents+downloads", _t)
             accepted = _assemble_drain(ray.get(drain_refs))
@@ -742,7 +693,7 @@ def run_crawl(
                         "scheduled": len(scheduled),
                         "fetched_ok": epoch_ok,
                         "fetch_err": len(scheduled) - epoch_ok,
-                        "docs_queued": len(new_tasks),
+                        "docs_queued": n_new_docs,
                         "downloads_ok": n_dl_ok,
                         "download_err": dl_tbl.num_rows - n_dl_ok,
                         "retries_pending": len(pending_retry),
@@ -1141,57 +1092,11 @@ def _run_crawl_dataset_frontier(
                 sh.drain_epoch_table.remote("norm") for sh in seen.handles()
             ]
 
-            # downloads (same deterministic lane as the driver loop)
-            new_tasks: list[tuple[str, int, int]] = []
-            if docs is not None and docs.num_rows:
-                ddf = docs.to_pandas().sort_values(
-                    ["p_priority", "p_host", "p_norm", "p_url"],
-                    ascending=[False, True, True, True], kind="mergesort",
-                ).drop_duplicates("url", keep="first")
-                new_mask = seen.check_and_add("doc", ddf["url"].tolist())
-                ddf = ddf[new_mask]
-                new_tasks = [
-                    (u, int(d), 0)
-                    for u, d in sorted(zip(ddf["url"], ddf["depth"]))
-                ]
-            work = sorted(pending_retry) + new_tasks
-            pending_retry = []
-            if cfg.download_budget_per_epoch > 0:
-                pending_retry = work[cfg.download_budget_per_epoch:]
-                work = work[: cfg.download_budget_per_epoch]
-            dl_tbl = _empty_downloads(epoch)
-            if work:
-                d_tbl = pa.table(
-                    {
-                        "url": pa.array([w[0] for w in work], pa.string()),
-                        "depth": pa.array([w[1] for w in work], pa.int32()),
-                        "attempt": pa.array([w[2] for w in work], pa.int32()),
-                    }
-                )
-                if mode == "broadcast":
-                    dl_out = _collect(
-                        rd.from_arrow(d_tbl).map_batches(
-                            DownloadSim(cfg, corpus_ref),
-                            batch_format="pyarrow",
-                        )
-                    )
-                else:
-                    dl_out = _download_join(d_tbl, pages_path, cfg)
-                if dl_out is not None:
-                    ddl = dl_out.to_pandas().sort_values(
-                        ["url", "attempt"], kind="mergesort"
-                    )
-                    failed = ddl[~ddl["ok"] & (ddl["attempt"] < cfg.max_retries)]
-                    pending_retry.extend(
-                        (u, int(d), int(a) + 1)
-                        for u, d, a in zip(failed["url"], failed["depth"],
-                                           failed["attempt"])
-                    )
-                    dl_tbl = pa.Table.from_pandas(
-                        ddl, preserve_index=False
-                    ).append_column(
-                        "epoch", pa.array([epoch] * len(ddl), pa.int32())
-                    )
+            # downloads (the SHARED deterministic lane — _download_lane)
+            dl_tbl, pending_retry, n_new_docs = _download_lane(
+                docs, pending_retry, seen, cfg, mode, corpus_ref,
+                pages_path, epoch,
+            )
             dl_acc.append(dl_tbl)
 
             # next frontier: drain tables → Dataset, key split in tasks
@@ -1219,7 +1124,7 @@ def _run_crawl_dataset_frontier(
                         "scheduled": epoch_sched,
                         "fetched_ok": epoch_ok,
                         "fetch_err": epoch_sched - epoch_ok,
-                        "docs_queued": len(new_tasks),
+                        "docs_queued": n_new_docs,
                         "downloads_ok": n_dl_ok,
                         "download_err": dl_tbl.num_rows - n_dl_ok,
                         "retries_pending": len(pending_retry),
@@ -1458,6 +1363,66 @@ def _scan_misses_dataset(marked2, fetched, cfg, seen_handles,
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
     )
+
+
+
+def _download_lane(docs, pending_retry, seen, cfg, mode, corpus_ref,
+                   pages_path, epoch):
+    """T3 doc-dedup → T5 global budget → download → T8 retry requeue: the
+    SHARED deterministic lane for both frontier loops (one definition so
+    driver and dataset modes cannot drift; spec mirrored in
+    oracle/crawl_sim.py). Returns (dl_tbl, next_pending_retry, n_new)."""
+    new_tasks: list[tuple[str, int, int]] = []
+    if docs is not None and docs.num_rows:
+        ddf = docs.to_pandas().sort_values(
+            ["p_priority", "p_host", "p_norm", "p_url"],
+            ascending=[False, True, True, True], kind="mergesort",
+        ).drop_duplicates("url", keep="first")
+        new_mask = seen.check_and_add("doc", ddf["url"].tolist())
+        ddf = ddf[new_mask]
+        new_tasks = [
+            (u, int(d), 0) for u, d in sorted(zip(ddf["url"], ddf["depth"]))
+        ]
+    work = sorted(pending_retry) + new_tasks
+    next_retry: list[tuple[str, int, int]] = []
+    if cfg.download_budget_per_epoch > 0:
+        # T5 global limiter (downloader.go:82 analogue): the over-budget
+        # tail carries to the next epoch's priority lane unchanged
+        next_retry = work[cfg.download_budget_per_epoch:]
+        work = work[: cfg.download_budget_per_epoch]
+    dl_tbl = _empty_downloads(epoch)
+    if work:
+        d_tbl = pa.table(
+            {
+                "url": pa.array([w[0] for w in work], pa.string()),
+                "depth": pa.array([w[1] for w in work], pa.int32()),
+                "attempt": pa.array([w[2] for w in work], pa.int32()),
+            }
+        )
+        if mode == "broadcast":
+            dl_out = _collect(
+                rd.from_arrow(d_tbl).map_batches(
+                    DownloadSim(cfg, corpus_ref), batch_format="pyarrow",
+                )
+            )
+        else:
+            dl_out = _download_join(d_tbl, pages_path, cfg)
+        if dl_out is not None:
+            ddl = dl_out.to_pandas().sort_values(
+                ["url", "attempt"], kind="mergesort"
+            )
+            failed = ddl[~ddl["ok"] & (ddl["attempt"] < cfg.max_retries)]
+            next_retry.extend(
+                (u, int(d), int(a) + 1)
+                for u, d, a in zip(failed["url"], failed["depth"],
+                                   failed["attempt"])
+            )
+            dl_tbl = pa.Table.from_pandas(
+                ddl, preserve_index=False
+            ).append_column(
+                "epoch", pa.array([epoch] * len(ddl), pa.int32())
+            )
+    return dl_tbl, next_retry, len(new_tasks)
 
 
 def _download_join(d_tbl: pa.Table, pages_path: str, cfg: CrawlConfig) -> pa.Table | None:
