@@ -136,6 +136,21 @@ def _schedule_pandas(
     return scheduled, deferred
 
 
+def _budget_mark_group(g: pd.DataFrame, budgets: dict[str, int],
+                       default_budget: int) -> pd.DataFrame:
+    """Per-host politeness comparator (ONE definition for both frontier
+    modes — shared spec with oracle/crawl_sim.py): deterministic in-host
+    order, first b rows scheduled, the rest deferred."""
+    g = g.sort_values(
+        ["priority", "url_norm", "url"],
+        ascending=[False, True, True], kind="mergesort",
+    )
+    b = budgets.get(g["host"].iloc[0], default_budget)
+    g = g.copy()
+    g["sched"] = True if b <= 0 else (np.arange(len(g)) < b)
+    return g
+
+
 def _schedule_distributed(
     frontier: pd.DataFrame, budgets: dict[str, int], default_budget: int
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -145,15 +160,10 @@ def _schedule_distributed(
     constraint), then a distributed sort for the deterministic global order.
     Semantics identical to the pandas path (equivalence-tested)."""
 
-    def mark(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["priority", "url_norm", "url"],
-            ascending=[False, True, True], kind="mergesort",
-        )
-        b = budgets.get(g["host"].iloc[0], default_budget)
-        g = g.copy()
-        g["sched"] = True if b <= 0 else (np.arange(len(g)) < b)
-        return g
+    from functools import partial
+
+    mark = partial(_budget_mark_group, budgets=budgets,
+                   default_budget=default_budget)
 
     ds = rd.from_pandas(frontier).repartition(
         max(2, min(64, len(frontier) // 50_000 + 1))
@@ -923,15 +933,10 @@ def _run_crawl_dataset_frontier(
     default_budget = cfg.default_host_budget
     budgets_on = bool(host_budgets) or default_budget > 0
 
-    def mark_budget(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["priority", "url_norm", "url"],
-            ascending=[False, True, True], kind="mergesort",
-        )
-        b = host_budgets.get(g["host"].iloc[0], default_budget)
-        g = g.copy()
-        g["sched"] = True if b <= 0 else (np.arange(len(g)) < b)
-        return g
+    from functools import partial
+
+    mark_budget = partial(_budget_mark_group, budgets=host_budgets,
+                          default_budget=default_budget)
 
     epoch = 0
     scheduled_total = 0
