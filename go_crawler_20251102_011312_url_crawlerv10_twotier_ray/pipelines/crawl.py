@@ -993,8 +993,19 @@ def _run_crawl_dataset_frontier(
                         .materialize()
                     )
                     deferred_count = deferred_ds.count()
-                winners_ref = ray.put(
-                    _resolve_seed_revisits(sched_ds, seed_ref, seen))
+                if epoch == start_epoch == 0 and not budgets_on:
+                    # bulk-seed fast path: epoch 0's schedule is exactly
+                    # the (driver-deduped) seed list, nothing is deferred
+                    # and the raw set is empty — every row is its own
+                    # winner; skip the contest scan (at 240k seeds it cost
+                    # ~3 s of driver collect+sort for a trivial result)
+                    urls = sorted(set(seed_df["url"]))
+                    seen.check_and_add("raw", urls)
+                    winners = {u: (0, 0) for u in urls}
+                else:
+                    winners = _resolve_seed_revisits(sched_ds, seed_ref,
+                                                     seen)
+                winners_ref = ray.put(winners)
                 sched_ds = sched_ds.map_batches(
                     MarkRevisitsInTask(seed_ref, winners_ref),
                     batch_format="pyarrow",
