@@ -378,7 +378,7 @@ def run_crawl(
         from ..state.metrics import get_or_create_metrics
 
         metrics = get_or_create_metrics(
-            echo=bool(os.environ.get("GRAFT_CRAWL_DEBUG"))
+            echo=bool(os.environ.get("GRAFT_CRAWL_DEBUG")), reset=True,
         )
     dispatched_seed_raws: set[str] = set()
     # T8 retry lane (downloader.go:153-179): failed download tasks re-queue
@@ -446,6 +446,20 @@ def run_crawl(
                 # or a later link to the same doc double-queues it
                 seen.check_and_add(
                     "doc", sorted({u for u, _, _ in pending_retry}))
+            # restore the fetched counter (collect=True recomputes it from
+            # the restored extracted tables after the loop; collect=False
+            # has no tables, so sum the per-epoch metas)
+            import json as _json
+
+            for k in done:
+                try:
+                    with open(os.path.join(
+                            ckpt.epoch_dir(cfg.checkpoint_dir, k),
+                            "meta.json")) as f:
+                        res.pages_fetched += int(
+                            _json.load(f).get("fetched_ok") or 0)
+                except FileNotFoundError:
+                    pass
 
     import sys as _sys
     import time as _time
@@ -746,9 +760,7 @@ def run_crawl(
                     meta={
                         "epoch": epoch,
                         "scheduled": len(scheduled),
-                        "fetched_ok": int(
-                            pa.compute.sum(ext_tbl["ok"]).as_py() or 0
-                        ) if ext_tbl is not None else None,
+                        "fetched_ok": epoch_ok,
                         "seen_total": seen.total("norm"),
                     },
                 )
@@ -917,7 +929,7 @@ def _run_crawl_dataset_frontier(
         from ..state.metrics import get_or_create_metrics
 
         metrics = get_or_create_metrics(
-            echo=bool(os.environ.get("GRAFT_CRAWL_DEBUG"))
+            echo=bool(os.environ.get("GRAFT_CRAWL_DEBUG")), reset=True,
         )
     offers_expected = 0
     res = CrawlRunResult()
@@ -926,6 +938,8 @@ def _run_crawl_dataset_frontier(
 
     seed_df = _seed_frontier(seeds)
     seed_ref = ray.put(pa.array(sorted(set(seed_df["url"])), pa.string()))
+    n_seed_urls = len(set(seed_df["url"]))
+    raws_claimed = 0  # seed raws committed so far (drives the scan skip)
     frontier_ds = rd.from_arrow(
         _cast_frontier(pa.Table.from_pandas(seed_df, preserve_index=False))
     ) if len(seed_df) else None
@@ -948,6 +962,7 @@ def _run_crawl_dataset_frontier(
             frontier_ds = st["frontier_ds"]
             frontier_count = st["frontier_count"]
             scheduled_total = st["scheduled_total"]
+            raws_claimed = st["raws_claimed"]
     start_epoch = epoch
     try:
         while frontier_count > 0 or pending_retry:
@@ -1001,10 +1016,17 @@ def _run_crawl_dataset_frontier(
                     # ~3 s of driver collect+sort for a trivial result)
                     urls = sorted(set(seed_df["url"]))
                     seen.check_and_add("raw", urls)
+                    raws_claimed = len(urls)
                     winners = {u: (0, 0) for u in urls}
+                elif raws_claimed >= n_seed_urls:
+                    # every seed raw is already dispatched: the contest
+                    # would return {} (all seed-matching rows are
+                    # revisits) — skip the frontier scan entirely
+                    winners = {}
                 else:
                     winners = _resolve_seed_revisits(sched_ds, seed_ref,
                                                      seen)
+                    raws_claimed += len(winners)
                 winners_ref = ray.put(winners)
                 sched_ds = sched_ds.map_batches(
                     MarkRevisitsInTask(seed_ref, winners_ref),
@@ -1272,6 +1294,7 @@ def _resume_dataset_state(ckpt_dir: str, seen, res, dl_acc: list,
         "frontier_ds": frontier_ds,
         "frontier_count": meta["frontier_count"],
         "scheduled_total": meta["scheduled_total"],
+        "raws_claimed": len(meta["raw_keys"]),
     }
 
 

@@ -71,9 +71,11 @@ class CrawlMetrics:
         }
 
 
-def get_or_create_metrics(echo: bool = False):
-    """Named handle (lifetime = driver session); gauges are RESET for the
-    caller's run so counters["metrics"] describes one crawl."""
+def get_or_create_metrics(echo: bool = False, reset: bool = False):
+    """Named handle (lifetime = driver session). Observers get the handle
+    untouched; a crawl STARTING a run passes ``reset=True`` so its
+    attached snapshot describes that run only — the getter itself must
+    never clobber a running crawl's gauges."""
     try:
         h = ray.get_actor(METRICS_ACTOR_NAME)
     except ValueError:
@@ -82,5 +84,6 @@ def get_or_create_metrics(echo: bool = False):
             h = cls.options(name=METRICS_ACTOR_NAME).remote(echo)
         except ValueError:  # raced another creator
             h = ray.get_actor(METRICS_ACTOR_NAME)
-    ray.get(h.reset.remote(echo))
+    if reset:
+        ray.get(h.reset.remote(echo))
     return h
