@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": relational.events_range_join_counts,
         "top_customers": relational.top_customers,
         "part_type_counts": relational.part_type_counts,
+        "q6_revenue_forecast": relational.q6_revenue_forecast,
+        "region_supplier_stats": relational.region_supplier_stats,
         # --- training-data ops: dedup ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -131,6 +133,8 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": relational.EVENTS_RANGE_SQL,
         "top_customers": relational.TOP_CUSTOMERS_SQL,
         "part_type_counts": relational.PART_TYPE_SQL,
+        "q6_revenue_forecast": relational.Q6_SQL,
+        "region_supplier_stats": relational.REGION_SUPPLIER_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_embedding_cosine": dedup.DEDUP_EMB_SQL,
         "ann_bruteforce_topk": ann.ANN_BRUTEFORCE_SQL,

@@ -506,6 +506,93 @@ FROM part GROUP BY p_type ORDER BY p_type
 """
 
 
+def q6_revenue_forecast(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: one filtered scan + a global sum — the pure
+    column-pruned predicate-pushdown case (no shuffle at all: per-batch
+    partial sums, one tiny final add)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    lo = np.datetime64("1995-01-01", "us")
+    hi = np.datetime64("1996-01-01", "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        m = ((ship >= lo) & (ship < hi)
+             & (disc >= 0.05 - 1e-9) & (disc <= 0.07 + 1e-9) & (qty < 24))
+        rev = np.rint(ext[m] * disc[m] * 10_000).astype(np.int64).sum()
+        return pa.table({"rev_c4": pa.array([int(rev)], pa.int64()),
+                         "n": pa.array([int(m.sum())], pa.int64())})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue_c4": [int(p["rev_c4"].sum())],
+                         "n_items": [int(p["n"].sum())]})
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_c4,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def region_supplier_stats(sf_dir: str) -> pd.DataFrame:
+    """Suppliers per region with account-balance stats: two broadcast
+    dimension joins (region ⋈ nation are tiny) + grouped aggregation over
+    the supplier table."""
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"],
+                   nation["n_regionkey"].map(
+                       dict(zip(region["r_regionkey"], region["r_name"])))))
+    lut_ref = ray.put(n2r)
+
+    def tag(t: pa.Table) -> pa.Table:
+        from ..stages.fetch import cached_broadcast
+
+        lut = cached_broadcast(lut_ref)
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        bal = t["s_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "r_name": pa.array([lut[int(k)] for k in nk], pa.string()),
+                "bal_c": pa.array(np.rint(bal * 100).astype(np.int64)),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"),
+                   Sum("bal_c", alias_name="sum_bal_c"),
+                   Min("bal_c", alias_name="min_bal_c"),
+                   Max("bal_c", alias_name="max_bal_c"))
+        .to_pandas()
+        .sort_values("r_name")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+REGION_SUPPLIER_SQL = """
+SELECT r.r_name,
+       count(*) AS n_suppliers,
+       CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c,
+       CAST(min(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS min_bal_c,
+       CAST(max(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS max_bal_c
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # as-of join — events matched to each user's latest prior order. Ray Data
 # has no asof join; the canonical distributed shape is: align both sides
