@@ -6,10 +6,19 @@ over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE JSON
 line: {"metric", "value" (total sec), "unit", "queries" (per-pipeline sec),
 "sf", "num_cpus", ...derived throughputs}.
 
-``--scaling``: runs the same job twice in FRESH processes at 8 and 32 CPUs
-on the same input (the in-sandbox evidence for the north rule's N→4N
-cluster-scaling criterion) and prints one JSON line with both throughputs
-and the scaling efficiency.
+SECTION ISOLATION (round-3 fix): each section — extract+crawl, join-mode
+steady epoch, scan-mode steady epoch, and the relational/dedup/ann/text
+query loop — runs in its OWN fresh subprocess with its own ray.init.
+Round 2 ran everything in one session and the leftover state from the two
+full-corpus steady crawls (plasma pressure + ~170 accumulated datasets)
+inflated every all-to-all query 3-8x; the per-section numbers were not
+measuring the engine. The ``--scaling`` harness already used this
+subprocess pattern; now the default run does too.
+
+``--scaling``: runs the same steady job twice in FRESH processes at 2 and
+8 CPUs on the same input (the in-sandbox evidence for the north rule's
+N→4N cluster-scaling criterion) and prints one JSON line with both
+throughputs and the scaling efficiency.
 
 Headline pipelines:
 - crawl      — full frontier crawl (fetch → two-tier extract → dedup →
@@ -38,20 +47,24 @@ def _sf_name() -> str:
     return os.path.basename(os.path.normpath(SF_DIR)) or "sf0.1"
 
 
+def _sf_frac() -> float:
+    try:
+        return float(_sf_name().replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
 def _bench_corpus() -> str:
+    """Deterministic bench corpus (cached under /tmp with a _SUCCESS stamp;
+    corpus generation needs no Ray session — safe in the parent process)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.corpus import (
         write_corpus,
     )
 
-    sf = _sf_name()
-    try:
-        frac = float(sf.replace("sf", ""))
-    except ValueError:
-        frac = 0.1
-    n_pages = max(2000, int(600_000 * frac))
+    n_pages = max(2000, int(600_000 * _sf_frac()))
     return write_corpus(
-        os.path.join(BENCH_ROOT, sf),
+        os.path.join(BENCH_ROOT, _sf_name()),
         n_pages=n_pages,
         n_hosts=50,
         seed=42,
@@ -62,8 +75,9 @@ def _bench_corpus() -> str:
     )
 
 
-def run_bench() -> dict:
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+def _init_session():
+    """One fresh Ray session for ONE bench section (each section is its own
+    subprocess, so sections can never pollute each other's timings)."""
     import logging
 
     import ray
@@ -77,50 +91,58 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    return ray
 
-    import ray.data as rd
 
+def _warm_cache(pages_dir: str) -> None:
+    for part in os.listdir(pages_dir):
+        with open(os.path.join(pages_dir, part), "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+
+def _warm_workers(corpus_dir: str) -> None:
+    """Untimed warm-up: spawn the worker pool and import the kernels in
+    every worker process so the timed sections measure compute."""
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.config import (
         CrawlConfig,
     )
-    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
-        ann, dedup, relational, text,
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.sources.pages import (
+        read_pages,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.stages.extract import (
+        RouteAndExtract,
+    )
+
+    (read_pages(corpus_dir, columns=["url", "html"])
+     .limit(2000)
+     .map_batches(RouteAndExtract(CrawlConfig()), batch_format="pyarrow",
+                  batch_size=64)
+     .count())
+
+
+def section_crawl() -> dict:
+    """Extract slice + full frontier crawl (the headline number)."""
+    ray = _init_session()
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.config import (
+        CrawlConfig,
     )
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.crawl import (
         run_crawl,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.sources.pages import (
+        read_pages,
     )
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.stages.extract import (
         RouteAndExtract,
     )
 
     corpus_dir = _bench_corpus()
-    pages_dir = os.path.join(corpus_dir, "pages")
-
-    # warm the OS page cache so we measure compute+shuffle, not cold reads
-    for part in os.listdir(pages_dir):
-        with open(os.path.join(pages_dir, part), "rb") as f:
-            while f.read(1 << 24):
-                pass
+    _warm_cache(os.path.join(corpus_dir, "pages"))
+    _warm_workers(corpus_dir)
 
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
-
-    # untimed warm-up: spawn the worker pool and import the kernels in every
-    # worker process so the timed sections measure compute, not cold starts
-    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.sources.pages import (
-        read_pages as _rp,
-    )
-
-    (_rp(corpus_dir, columns=["url", "html"])
-     .limit(2000)
-     .map_batches(RouteAndExtract(CrawlConfig()), batch_format="pyarrow",
-                  batch_size=64)
-     .count())
-
-    # --- extract slice (the reference's two-tier tokenizer hot loop) ---
-    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.sources.pages import (
-        read_pages,
-    )
 
     t0 = time.perf_counter()
     n_pages = (
@@ -132,7 +154,6 @@ def run_bench() -> dict:
     queries["extract"] = round(time.perf_counter() - t0, 3)
     extra["extract_pages_per_sec"] = round(n_pages / queries["extract"], 1)
 
-    # --- full frontier crawl ---
     t0 = time.perf_counter()
     res = run_crawl(corpus_dir, CrawlConfig())
     queries["crawl"] = round(time.perf_counter() - t0, 3)
@@ -141,33 +162,57 @@ def run_bench() -> dict:
     extra["crawl_pages_fetched"] = res.pages_fetched
     extra["crawl_epochs"] = res.n_epochs
 
-    # --- join fetch mode (the declared 100 TB path: no process holds the
-    # corpus), one steady epoch over every bench-corpus URL ---
-    import pyarrow.parquet as _pq
+    out = {"queries": queries, **extra}
+    ray.shutdown()
+    return out
 
-    all_urls = _pq.read_table(pages_dir, columns=["url"])["url"].to_pylist()
-    t0 = time.perf_counter()
-    jres = run_crawl(corpus_dir, CrawlConfig(record_order=False,
-                                             fetch_mode="join"),
-                     seeds=all_urls, max_epochs=1, collect=False)
-    queries["crawl_join_steady"] = round(time.perf_counter() - t0, 3)
-    extra["crawl_join_urls_per_sec"] = round(
-        jres.counters["scheduled_total"] / queries["crawl_join_steady"], 1
+
+def _section_steady(fetch_mode: str) -> dict:
+    """ONE steady epoch over every bench-corpus URL in the given fetch
+    mode — join (the declared 100 TB path: no process holds the corpus) or
+    scan (frontier ≪ corpus variant: stream the corpus, broadcast the
+    frontier index, bodies never shuffle)."""
+    ray = _init_session()
+    import pyarrow.parquet as pq
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.config import (
+        CrawlConfig,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.crawl import (
+        run_crawl,
     )
 
-    # scan fetch mode (frontier ≪ corpus variant of the 100 TB path:
-    # stream the corpus, broadcast the frontier index — bodies never
-    # shuffle), same single steady epoch
+    corpus_dir = _bench_corpus()
+    pages_dir = os.path.join(corpus_dir, "pages")
+    _warm_cache(pages_dir)
+    _warm_workers(corpus_dir)
+    all_urls = pq.read_table(pages_dir, columns=["url"])["url"].to_pylist()
+
     t0 = time.perf_counter()
-    sres = run_crawl(corpus_dir, CrawlConfig(record_order=False,
-                                             fetch_mode="scan"),
-                     seeds=all_urls, max_epochs=1, collect=False)
-    queries["crawl_scan_steady"] = round(time.perf_counter() - t0, 3)
-    extra["crawl_scan_urls_per_sec"] = round(
-        sres.counters["scheduled_total"] / queries["crawl_scan_steady"], 1
+    res = run_crawl(corpus_dir, CrawlConfig(record_order=False,
+                                            fetch_mode=fetch_mode),
+                    seeds=all_urls, max_epochs=1, collect=False)
+    sec = round(time.perf_counter() - t0, 3)
+    name = f"crawl_{fetch_mode}_steady"
+    out = {
+        "queries": {name: sec},
+        f"crawl_{fetch_mode}_urls_per_sec": round(
+            res.counters["scheduled_total"] / sec, 1
+        ),
+    }
+    ray.shutdown()
+    return out
+
+
+def section_queries() -> dict:
+    """The generic operator surface over $GRAFT_SF_DIR — in a session no
+    crawl has touched."""
+    ray = _init_session()
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
+        ann, dedup, relational, text,
     )
 
-    # --- generic operator surface over $GRAFT_SF_DIR ---
+    queries: dict[str, float] = {}
     for name, fn in [
         ("q1_pricing_summary", relational.q1_pricing_summary),
         ("q3_top_orders", relational.q3_top_orders),
@@ -183,23 +228,52 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         fn(SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)
+    out = {"queries": queries}
+    ray.shutdown()
+    return out
+
+
+SECTIONS = {
+    "crawl": section_crawl,
+    "join_steady": lambda: _section_steady("join"),
+    "scan_steady": lambda: _section_steady("scan"),
+    "queries": section_queries,
+}
+
+
+def run_bench() -> dict:
+    """Parent: pre-build the corpus (no Ray), then run each section in a
+    fresh subprocess and merge the per-section JSON."""
+    _bench_corpus()
+    queries: dict[str, float] = {}
+    extra: dict = {}
+    for name in ("crawl", "join_steady", "scan_steady", "queries"):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", name],
+            capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            extra[f"section_{name}_error"] = proc.stderr[-2000:]
+            continue
+        part = json.loads(proc.stdout.strip().splitlines()[-1])
+        queries.update(part.pop("queries"))
+        extra.update(part)
 
     total = round(sum(queries.values()), 3)
-    out = {
+    return {
         "metric": METRIC,
         "value": total,
         "unit": "sec",
         "queries": queries,
         "sf": _sf_name(),
         "num_cpus": NCPU,
+        "isolation": "fresh ray session per section (subprocess)",
         **extra,
     }
-    ray.shutdown()
-    return out
 
 
 def _scale_corpus() -> str:
-    """Corpus for the scaling criterion: 3× the bench page count so the
+    """Corpus for the scaling criterion: 4× the bench page count so the
     per-URL fetch+extract work dominates the session's fixed costs (worker
     spawn, pipeline launch, drain) — i.e. the same work/overhead ratio a
     real multi-node steady state would have."""
@@ -208,14 +282,9 @@ def _scale_corpus() -> str:
         write_corpus,
     )
 
-    sf = _sf_name()
-    try:
-        frac = float(sf.replace("sf", ""))
-    except ValueError:
-        frac = 0.1
-    n_pages = max(6000, int(4 * 600_000 * frac))
+    n_pages = max(6000, int(4 * 600_000 * _sf_frac()))
     return write_corpus(
-        os.path.join(BENCH_ROOT, sf + "-scale"),
+        os.path.join(BENCH_ROOT, _sf_name() + "-scale"),
         n_pages=n_pages, n_hosts=50, seed=42, mint_text=False,
         include_huge=False, chain_len=4, hub_fanout=400,
     )
@@ -226,19 +295,7 @@ def run_steady() -> dict:
     epoch that fetches+extracts+offers EVERY corpus URL (what each epoch of
     a 10^10-URL crawl looks like between checkpoints), plus the extract-only
     slice. Run under two RAY_GRAFT_CPUS levels in fresh processes."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import logging
-
-    import ray
-
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-
+    ray = _init_session()
     import pyarrow.parquet as pq
 
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.config import (
@@ -260,16 +317,11 @@ def run_steady() -> dict:
 
     # broadcast the corpus index untimed: at steady state the mapping is
     # already resident (and on a real cluster it is per-node, not per-run)
-    import ray as _ray
-
     corpus_tbl = pq.read_table(pages_dir, columns=["url", "html"]).combine_chunks()
-    corpus_ref = _ray.put(corpus_tbl)
+    corpus_ref = ray.put(corpus_tbl)
     del corpus_tbl
 
-    # warm-up (workers + imports), untimed
-    (read_pages(corpus_dir, columns=["url", "html"]).limit(2000)
-     .map_batches(RouteAndExtract(CrawlConfig()), batch_format="pyarrow",
-                  batch_size=64).count())
+    _warm_workers(corpus_dir)
 
     # best-of-N trials: single-box runs are noisy (page cache, plasma,
     # sibling processes); min is the honest estimate of achievable time
@@ -345,9 +397,13 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--steady" in sys.argv:
         print(json.dumps(run_steady()))
+    elif "--section" in sys.argv:
+        name = sys.argv[sys.argv.index("--section") + 1]
+        print(json.dumps(SECTIONS[name]()))
     else:
         print(json.dumps(run_bench()))
