@@ -56,7 +56,8 @@ def _emb(sf_dir: str) -> rd.Dataset:
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     q = (
         _emb(sf_dir)
-        .filter(lambda r: r["vec_id"] < N_QUERIES)
+        .filter(expr=f"vec_id < {N_QUERIES}")  # Arrow-expression pushdown —
+        # a filter(lambda) here scans the whole table through Python rows
         .to_pandas()
         .sort_values("vec_id")
     )

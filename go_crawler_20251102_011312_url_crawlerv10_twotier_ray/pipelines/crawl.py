@@ -272,14 +272,22 @@ class DownloadSim:
         self.corpus_ref = corpus_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..stages.fetch import corpus_lookup
+        from ..stages.fetch import cached_corpus_index
 
+        idx, html_col = cached_corpus_index(self.corpus_ref)
         urls = batch["url"].to_pylist()
-        oks, sizes = [], []
-        for u in urls:
-            body = corpus_lookup(self.corpus_ref, fetch_key(u))
-            oks.append(body is not None)
-            sizes.append(len(body) if body is not None else 0)
+        rows = [idx.get(fetch_key(u)) for u in urls]
+        oks = [r is not None for r in rows]
+        # sizes via binary_length on a take — never materializes the page
+        # bytes into the Python heap (corpus_lookup's .as_py() copied each
+        # full body out of plasma just to take its len)
+        sizes = np.zeros(len(urls), np.int64)
+        hit_pos = [i for i, r in enumerate(rows) if r is not None]
+        if hit_pos:
+            lens = pa.compute.binary_length(
+                html_col.take(pa.array([rows[i] for i in hit_pos], pa.int64()))
+            ).to_numpy(zero_copy_only=False)
+            sizes[hit_pos] = lens
         return pa.table(
             {
                 "url": batch["url"],

@@ -560,7 +560,7 @@ def region_supplier_stats(sf_dir: str) -> pd.DataFrame:
         bal = t["s_acctbal"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "r_name": pa.array([lut[int(k)] for k in nk], pa.string()),
+                "r_name": pa.array(pd.Series(nk).map(lut), pa.string()),
                 "bal_c": pa.array(np.rint(bal * 100).astype(np.int64)),
             }
         )
