@@ -522,7 +522,8 @@ def _norm_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def dedup_embedding_cosine(
-    sf_dir: str, threshold: float = EMB_DUP_THRESHOLD, method: str = "auto"
+    sf_dir: str, threshold: float = EMB_DUP_THRESHOLD, method: str = "auto",
+    mode: str = "auto",
 ) -> pd.DataFrame:
     """(vec_a, vec_b, cos_pct) pairs with cosine ≥ threshold, vec_a < vec_b.
 
@@ -535,13 +536,17 @@ def dedup_embedding_cosine(
       bucket collisions are compared. Right for the ≥0.9 near-dup regime
       (recall ≈ 0.98 at cos ≥ 0.95 with 12 bands × 12 planes).
     - ``auto``: lsh when threshold ≥ 0.9 else exact.
+
+    ``mode`` picks the LSH tail (same size-adaptive twin pattern as
+    dedup_minhash_lsh): ``driver`` below MINHASH_SMALL_LIMIT bucket rows,
+    ``distributed`` above (equality-tested against each other).
     """
     if method == "auto":
         method = "lsh" if threshold >= 0.9 else "exact"
     ds = _emb_ds(sf_dir)
     if method == "exact":
         return _emb_cosine_exact(ds, threshold)
-    return _emb_cosine_lsh(ds, threshold)
+    return _emb_cosine_lsh(ds, threshold, mode=mode)
 
 
 def _emb_cosine_exact(ds: rd.Dataset, threshold: float) -> pd.DataFrame:
@@ -598,71 +603,207 @@ def _emb_cosine_exact(ds: rd.Dataset, threshold: float) -> pd.DataFrame:
     )
 
 
-def _emb_cosine_lsh(ds: rd.Dataset, threshold: float) -> pd.DataFrame:
-    """Banded-hyperplane candidate generation + exact verify (same
-    explode→hot-bucket→pairs shape as dedup_minhash_lsh). Planes are
-    deterministic per (seed, dim), recomputed in each kernel call."""
-    n_bands, n_planes = _EMB_BANDS, _EMB_PLANES
+_EMB_BUCKET_CAP = 500  # skip degenerate giant buckets (both tails)
 
-    def bucket_rows(t: pa.Table) -> pa.Table:
+
+def _emb_bucket_rows(t: pa.Table) -> pa.Table:
+    """(vec_id, band|bucket int64 key) rows — the banded-hyperplane explode.
+    Planes are deterministic per (seed, dim), recomputed in each kernel
+    call (a (dim × bands·planes) matrix is cheaper to recompute than to
+    broadcast)."""
+    n_bands, n_planes = _EMB_BANDS, _EMB_PLANES
+    ids, m = _norm_rows(t)
+    dim = m.shape[1]
+    local_rng = np.random.RandomState(424242)
+    planes = local_rng.standard_normal((dim, n_bands * n_planes))
+    bits = (m @ planes > 0).astype(np.uint64)
+    bits = bits.reshape(len(ids), n_bands, n_planes)
+    weights = (1 << np.arange(n_planes, dtype=np.uint64))
+    buckets = (bits * weights).sum(axis=2)  # (n, n_bands)
+    band_idx = np.arange(n_bands, dtype=np.uint64) << np.uint64(32)
+    keys = (buckets | band_idx[None, :]).astype(np.int64)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+            "bucket": pa.array(keys.reshape(-1), pa.int64()),
+        }
+    )
+
+
+def _emit_vec_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Distributed pair-gen for ONE colliding bucket (vec twin of
+    _emit_pairs_group; called per group from groupby(bucket).map_groups)."""
+    ids = sorted(set(g["vec_id"]))
+    if len(ids) < 2 or len(ids) > _EMB_BUCKET_CAP:
+        return pd.DataFrame({"vec_a": [], "vec_b": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64"})
+    return pd.DataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
+        columns=["vec_a", "vec_b"],
+    ).astype({"vec_a": "int64", "vec_b": "int64"})
+
+
+def _packed_vecs_ds(ds: rd.Dataset, need_ref) -> rd.Dataset:
+    """(vec_id, byte-packed normalized float64 vector) for the broadcast id
+    set — packed because hash joins don't take list payloads; computed
+    where the vectors live."""
+    import pyarrow.compute as pc
+
+    def pack(t: pa.Table) -> pa.Table:
+        from ..stages.fetch import cached_broadcast
+
+        t = t.filter(
+            pc.is_in(t["vec_id"], value_set=cached_broadcast(need_ref))
+        )
         ids, m = _norm_rows(t)
-        dim = m.shape[1]
-        local_rng = np.random.RandomState(424242)
-        planes = local_rng.standard_normal((dim, n_bands * n_planes))
-        bits = (m @ planes > 0).astype(np.uint64)
-        bits = bits.reshape(len(ids), n_bands, n_planes)
-        weights = (1 << np.arange(n_planes, dtype=np.uint64))
-        buckets = (bits * weights).sum(axis=2)  # (n, n_bands)
-        band_idx = np.arange(n_bands, dtype=np.uint64) << np.uint64(32)
-        keys = (buckets | band_idx[None, :]).astype(np.int64)
         return pa.table(
             {
-                "vec_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
-                "bucket": pa.array(keys.reshape(-1), pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "vb": pa.array([row.tobytes() for row in m], pa.binary()),
             }
         )
 
-    sigs = ds.map_batches(bucket_rows, batch_format="pyarrow",
-                          batch_size=1024).to_pandas()
-    vc = sigs["bucket"].value_counts()
-    coll = sigs[sigs["bucket"].isin(vc[vc > 1].index)]
-    pairs = []
-    for _, g in coll.groupby("bucket"):
-        ids = sorted(set(g["vec_id"]))
-        if len(ids) < 2 or len(ids) > 500:
-            continue
-        pairs.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
-    cand = pd.DataFrame(pairs, columns=["vec_a", "vec_b"]).drop_duplicates()
-    if not len(cand):
+    return ds.map_batches(pack, batch_format="pyarrow")
+
+
+def _verify_vec_pairs_table(t: pa.Table, threshold: float) -> pa.Table:
+    """(vec_a, vec_b, vb_a, vb_b) rows → pairs with cosine ≥ threshold
+    (one vectorized row-wise dot over the unpacked float64 matrices)."""
+    n = t.num_rows
+    if n == 0:
+        return pa.table(
+            {"vec_a": pa.array([], pa.int64()),
+             "vec_b": pa.array([], pa.int64()),
+             "cos_pct": pa.array([], pa.int64())}
+        )
+    ma = np.frombuffer(b"".join(t["vb_a"].to_pylist()), np.float64).reshape(n, -1)
+    mb = np.frombuffer(b"".join(t["vb_b"].to_pylist()), np.float64).reshape(n, -1)
+    sims = np.einsum("ij,ij->i", ma, mb)
+    keep = sims >= threshold
+    a = t["vec_a"].to_numpy(zero_copy_only=False)[keep]
+    b = t["vec_b"].to_numpy(zero_copy_only=False)[keep]
+    return pa.table(
+        {
+            "vec_a": pa.array(a.astype(np.int64)),
+            "vec_b": pa.array(b.astype(np.int64)),
+            "cos_pct": pa.array(np.rint(sims[keep] * 1000).astype(np.int64)),
+        }
+    )
+
+
+def _emb_cosine_lsh(ds: rd.Dataset, threshold: float,
+                    mode: str = "auto") -> pd.DataFrame:
+    """Banded-hyperplane candidate generation + exact verify (same
+    explode→hot-bucket→pairs shape as dedup_minhash_lsh), with the same
+    size-adaptive tail keyed on the (vec, bucket) row count:
+
+    - driver tail (small inputs): bucket table → value_counts → pair-gen
+      → verify against a driver-fetched candidate matrix;
+    - distributed tail (the 100 TB path): hot-bucket count shuffle →
+      collision rows only → groupby(bucket).map_groups pair-gen →
+      pair-dedup groupby → exact cosine verify via two ``Dataset.join``s
+      against a (vec_id, packed normalized vector) table — the full
+      bucket table and the candidate vectors never land on the driver.
+    Both tails are equality-tested against each other."""
+    import pyarrow.compute as pc
+
+    sigs = ds.map_batches(_emb_bucket_rows, batch_format="pyarrow",
+                          batch_size=1024).materialize()
+
+    distributed = mode == "distributed" or (
+        mode == "auto" and sigs.count() > MINHASH_SMALL_LIMIT
+    )
+
+    if not distributed:
+        sdf = sigs.to_pandas()
+        vc = sdf["bucket"].value_counts()
+        coll = sdf[sdf["bucket"].isin(vc[vc > 1].index)]
+        pairs = []
+        for _, g in coll.groupby("bucket"):
+            ids = sorted(set(g["vec_id"]))
+            if len(ids) < 2 or len(ids) > _EMB_BUCKET_CAP:
+                continue
+            pairs.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
+        cand = pd.DataFrame(pairs, columns=["vec_a", "vec_b"]).drop_duplicates()
+        if not len(cand):
+            return pd.DataFrame(columns=list(_EMPTY_EMB)).astype(_EMPTY_EMB)
+
+        # exact verify: fetch candidate vectors (small set), vectorized dot
+        need = np.unique(np.concatenate([cand["vec_a"], cand["vec_b"]]))
+        need_ref = ray.put(pa.array(need, pa.int64()))
+
+        def keep_needed(t: pa.Table) -> pa.Table:
+            from ..stages.fetch import cached_broadcast
+
+            return t.filter(
+                pc.is_in(t["vec_id"], value_set=cached_broadcast(need_ref))
+            )
+
+        sub = ds.map_batches(keep_needed, batch_format="pyarrow").to_pandas()
+        ids, m = _norm_rows(pa.Table.from_pandas(sub, preserve_index=False))
+        pos = {v: i for i, v in enumerate(ids)}
+        a_idx = np.array([pos[v] for v in cand["vec_a"]])
+        b_idx = np.array([pos[v] for v in cand["vec_b"]])
+        sims = np.einsum("ij,ij->i", m[a_idx], m[b_idx])
+        keep = sims >= threshold
+        out = pd.DataFrame(
+            {
+                "vec_a": cand["vec_a"].to_numpy()[keep].astype("int64"),
+                "vec_b": cand["vec_b"].to_numpy()[keep].astype("int64"),
+                "cos_pct": np.rint(sims[keep] * 1000).astype("int64"),
+            }
+        )
+        if not len(out):
+            return pd.DataFrame(columns=list(_EMPTY_EMB)).astype(_EMPTY_EMB)
+        return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+    # ---- distributed tail (MinHash-shaped) ----
+    from ray.data.aggregate import Count
+
+    hot = (
+        sigs.groupby("bucket").aggregate(Count(alias_name="n"))
+        .filter(expr="n > 1")
+        .to_pandas()  # ONLY colliding buckets reach the driver
+    )
+    if not len(hot):
         return pd.DataFrame(columns=list(_EMPTY_EMB)).astype(_EMPTY_EMB)
+    hot_ref = ray.put(pa.array(hot["bucket"], pa.int64()))
 
-    # exact verify: fetch candidate vectors (small set), vectorized dot
-    need = np.unique(np.concatenate([cand["vec_a"], cand["vec_b"]]))
-    need_ref = ray.put(pa.array(need, pa.int64()))
-
-    def keep_needed(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+    def keep_hot(t: pa.Table) -> pa.Table:
         from ..stages.fetch import cached_broadcast
 
         return t.filter(
-            pc.is_in(t["vec_id"], value_set=cached_broadcast(need_ref))
-        )
+            pc.is_in(t["bucket"], value_set=cached_broadcast(hot_ref)))
 
-    sub = ds.map_batches(keep_needed, batch_format="pyarrow").to_pandas()
-    ids, m = _norm_rows(pa.Table.from_pandas(sub, preserve_index=False))
-    pos = {v: i for i, v in enumerate(ids)}
-    a_idx = np.array([pos[v] for v in cand["vec_a"]])
-    b_idx = np.array([pos[v] for v in cand["vec_b"]])
-    sims = np.einsum("ij,ij->i", m[a_idx], m[b_idx])
-    keep = sims >= threshold
-    out = pd.DataFrame(
-        {
-            "vec_a": cand["vec_a"].to_numpy()[keep].astype("int64"),
-            "vec_b": cand["vec_b"].to_numpy()[keep].astype("int64"),
-            "cos_pct": np.rint(sims[keep] * 1000).astype("int64"),
-        }
+    cand_ds = (
+        sigs.map_batches(keep_hot, batch_format="pyarrow")
+        .groupby("bucket").map_groups(_emit_vec_pairs_group,
+                                      batch_format="pandas")
+        .groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="n_buckets"))
+        .drop_columns(["n_buckets"])
+        .materialize()
     )
+    if cand_ds.count() == 0:
+        return pd.DataFrame(columns=list(_EMPTY_EMB)).astype(_EMPTY_EMB)
+
+    ids_a = cand_ds.select_columns(["vec_a"]).rename_columns(["vec_id"])
+    ids_b = cand_ds.select_columns(["vec_b"]).rename_columns(["vec_id"])
+    need_ids = ids_a.union(ids_b).unique("vec_id")
+    need_ref = ray.put(pa.array(sorted(need_ids), pa.int64()))
+    vb_ds = _packed_vecs_ds(ds, need_ref).materialize()  # used by 2 joins
+    n_part = max(4, min(1024, cand_ds.count() // 250_000 + 1))
+    j1 = cand_ds.join(
+        vb_ds.rename_columns({"vec_id": "vec_a", "vb": "vb_a"}),
+        join_type="inner", num_partitions=n_part, on=("vec_a",),
+    )
+    j2 = j1.join(
+        vb_ds.rename_columns({"vec_id": "vec_b", "vb": "vb_b"}),
+        join_type="inner", num_partitions=n_part, on=("vec_b",),
+    )
+    out = j2.map_batches(
+        lambda t: _verify_vec_pairs_table(t, threshold),
+        batch_format="pyarrow",
+    ).to_pandas()
     if not len(out):
         return pd.DataFrame(columns=list(_EMPTY_EMB)).astype(_EMPTY_EMB)
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -178,6 +178,26 @@ def test_embedding_cosine_lsh_matches_exact_on_planted(planted_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_embedding_cosine_lsh_distributed_matches_driver(planted_dir):
+    """The distributed LSH tail (hot-bucket shuffle → map_groups pair-gen →
+    join verify) must emit exactly the driver tail's pairs — candidate
+    generation is shared, only the plumbing differs. Checked at the 0.95
+    dedup threshold (planted twins) AND at a low threshold that makes many
+    bucket collisions survive verification."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    for thr in (0.95, 0.3):
+        drv = dedup_embedding_cosine(planted_dir, threshold=thr,
+                                     method="lsh", mode="driver")
+        dst = dedup_embedding_cosine(planted_dir, threshold=thr,
+                                     method="lsh", mode="distributed")
+        pd.testing.assert_frame_equal(drv, dst)
+    assert len(drv) >= 1  # the low-threshold leg must be non-vacuous
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ann_lsh_recall_at_sf001():
     """recall@5 vs brute force ≥ 0.6 on the (non-planted, near-isotropic —
     LSH-worst-case) sf0.01 embeddings."""
