@@ -378,40 +378,68 @@ GROUP BY 1, 2 ORDER BY 1, 2
 SESSION_GAP_MIN = 30
 
 
+SESSION_ROWS_PER_PARTITION = 500_000
+
+
+def _hash_partitions(n_rows: int) -> int:
+    """Bounded partition count for the co-partition-by-user pattern: the
+    per-group Python-call count is the PARTITION count, not the user
+    count — at 10^8 users that is ~10^3 interpreter calls instead of
+    10^8 (each one a vectorized pass)."""
+    return max(8, min(1024, n_rows // SESSION_ROWS_PER_PARTITION + 1))
+
+
 def events_sessionize(sf_dir: str) -> pd.DataFrame:
     """Per-user session count + longest session length (gap > 30 min starts
-    a new session). groupby(user).map_groups over ts-sorted groups — the
-    streaming-shaped pattern (SURVEY.md §2.8); the SQL oracle uses window
-    functions."""
+    a new session). Scale shape: hash-co-partition by user (ONE shuffle,
+    bounded partition count), then ONE vectorized pass per partition —
+    sort by (user, ts), session breaks via a segmented diff (a user
+    boundary always starts a session), per-user stats via pandas'
+    C-level groupby. Never one Python call per user. The SQL oracle uses
+    window functions."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    n_part = _hash_partitions(ds.count())
 
     gap = np.timedelta64(SESSION_GAP_MIN * 60, "s")
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "part", pa.array((uid % n_part).astype(np.int64)))
+
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         ts = g["ts"].to_numpy()
+        uid = g["user_id"].to_numpy()
         new_sess = np.ones(len(g), dtype=bool)
-        if len(ts) > 1:
-            new_sess[1:] = (ts[1:] - ts[:-1]) > gap
-        sess_id = np.cumsum(new_sess)
-        sizes = pd.Series(sess_id).value_counts()
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(sess_id[-1])],
-                "n_events": [len(g)],
-                "max_session_events": [int(sizes.max())],
-            }
+        if len(g) > 1:
+            new_sess[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap)
+        sess_id = np.cumsum(new_sess)  # globally increasing across users
+        sizes = (
+            pd.DataFrame({"user_id": uid, "sess": sess_id})
+            .groupby(["user_id", "sess"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out = sizes.groupby("user_id", sort=False).agg(
+            n_sessions=("sess", "size"),
+            n_events=("n", "sum"),
+            max_session_events=("n", "max"),
+        ).reset_index()
+        return out.astype(
+            {"n_sessions": "int64", "n_events": "int64",
+             "max_session_events": "int64"}
         )
 
     out = (
-        ds.groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessions_part, batch_format="pandas")
         .to_pandas()
         .sort_values("user_id")
         .reset_index(drop=True)
     )
-    return out
+    return out[["user_id", "n_sessions", "n_events", "max_session_events"]]
 
 
 EVENTS_SESSION_SQL = f"""
@@ -606,7 +634,21 @@ def events_asof_orders(sf_dir: str) -> pd.DataFrame:
     """For every event: the same user's most recent order at ts ≥
     orderdate (ties on (custkey, orderdate) broken by max orderkey on both
     sides for determinism). Inner semantics — events with no prior order
-    are dropped. Returns (event_id, user_id, ts, o_orderkey, o_orderdate)."""
+    are dropped. Returns (event_id, user_id, ts, o_orderkey, o_orderdate).
+
+    Scale shape: both sides are aligned to one schema with a hash(user)
+    partition key, co-partitioned with ONE shuffle (bounded partition
+    count), then each partition runs a single ``pd.merge_asof(...,
+    by="user_id")`` — the per-user matching happens inside pandas' C
+    merge, never one Python call per user."""
+    n_rows = (_read(sf_dir, "events", ["event_id"]).count()
+              + _read(sf_dir, "orders", ["o_orderkey"]).count())
+    n_part = _hash_partitions(n_rows)
+
+    def _part_col(uid_arr) -> pa.Array:
+        uid = uid_arr.to_numpy(zero_copy_only=False)
+        return pa.array((uid % n_part).astype(np.int64))
+
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
         lambda t: pa.table(
             {
@@ -614,6 +656,7 @@ def events_asof_orders(sf_dir: str) -> pd.DataFrame:
                 "t": t["ts"],
                 "event_id": t["event_id"].cast(pa.int64()),
                 "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+                "part": _part_col(t["user_id"].cast(pa.int64())),
             }
         ),
         batch_format="pyarrow",
@@ -626,27 +669,34 @@ def events_asof_orders(sf_dir: str) -> pd.DataFrame:
                 "t": t["o_orderdate"],
                 "event_id": pa.nulls(t.num_rows, pa.int64()),
                 "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "part": _part_col(t["o_custkey"].cast(pa.int64())),
             }
         ),
         batch_format="pyarrow",
     )
 
-    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
         is_event = g["event_id"].notna()
-        evg = g[is_event][["event_id", "t"]].sort_values(
+        evg = g[is_event][["event_id", "user_id", "t"]].sort_values(
             ["t", "event_id"], kind="mergesort")
-        odg = g[~is_event][["o_orderkey", "t"]]
+        odg = g[~is_event][["user_id", "o_orderkey", "t"]]
         if not len(evg) or not len(odg):
             return pd.DataFrame(
-                columns=["event_id", "user_id", "ts", "o_orderkey",
-                         "o_orderdate"])
-        # tie-break: one order per timestamp (max orderkey)
-        odg = odg.groupby("t", as_index=False)["o_orderkey"].max()
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "ts": pd.Series(dtype=g["t"].dtype),
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "o_orderdate": pd.Series(dtype=g["t"].dtype),
+                }
+            )
+        # tie-break: one order per (user, timestamp) (max orderkey)
+        odg = odg.groupby(["user_id", "t"], as_index=False)["o_orderkey"].max()
         odg = odg.sort_values("t", kind="mergesort")
         odg["o_orderdate"] = odg["t"]
-        m = pd.merge_asof(evg, odg, on="t", direction="backward")
+        m = pd.merge_asof(evg, odg, on="t", by="user_id",
+                          direction="backward")
         m = m[m["o_orderkey"].notna()]
-        m["user_id"] = g["user_id"].iloc[0]
         return pd.DataFrame(
             {
                 "event_id": m["event_id"].astype("int64"),
@@ -659,8 +709,8 @@ def events_asof_orders(sf_dir: str) -> pd.DataFrame:
 
     out = (
         ev.union(od)
-        .groupby("user_id")
-        .map_groups(asof_group, batch_format="pandas")
+        .groupby("part")
+        .map_groups(asof_part, batch_format="pandas")
         .to_pandas()
         .sort_values("event_id")
         .reset_index(drop=True)
