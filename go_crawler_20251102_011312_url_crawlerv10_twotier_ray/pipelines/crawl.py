@@ -15,7 +15,8 @@ deterministic sequence of bounded Ray Data pipelines, one per epoch
          seen actors — min is order-independent ⇒ deterministic]
     seen.drain("norm") ──▶ survivors (next frontier)   [within-epoch dedup +
         cross-epoch anti-join commit, atomic per shard, no groupby shuffle]
-    fetched ──map_batches(explode_documents)──▶ docs ──dedup──▶ downloads
+    seen.drain("doc") ──▶ download tasks   [doc candidates ride the same
+        shard min-offer stream, exploded + offered inside the fetch tasks]
     everything ──▶ per-epoch checkpoint parquet + _SUCCESS
 
 Scheduling state (the frontier) is URL rows only — thousands of times
@@ -48,7 +49,6 @@ from ..config import CrawlConfig
 from ..functions.urlnorm import fetch_key, host_of, normalize_url
 from ..oracle.crawl_sim import validate_seed
 from ..oracle.reference import extract_filename
-from ..stages.candidates import explode_documents
 from ..stages.fetch import (
     FETCHED_SCHEMA,
     ExtractJoined,
@@ -380,7 +380,8 @@ def run_crawl(
     if n_shards <= 0:
         n_shards = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
     seen = ShardedSeen(n_shards)
-    offers_expected = 0  # cumulative fence target for fire-and-forget offers
+    offers_expected = 0  # cumulative fence targets for fire-and-forget offers
+    doc_offers_expected = 0
     metrics = None
     if cfg.live_metrics:
         from ..state.metrics import get_or_create_metrics
@@ -603,57 +604,62 @@ def run_crawl(
                     fetched = fetched.union(rd.from_arrow(miss_out))
             _t = _tick("fetch+extract+offer", _t)
 
-            # --- documents explode (+ offer/ok accounting) ---
-            # collect=True (test/bench scale): one driver-side pass over
-            # the already-collected batch; collect=False (steady/100 TB):
-            # ONE pipeline whose stat rows carry the per-batch counters.
+            # --- counters (doc offers are fused into the fetch tasks) ---
+            # collect=True (test/bench scale): sums over the collected
+            # batch; collect=False (steady/100 TB): ONE tiny stats pipeline
+            # (one counter row per batch; no doc rows pass the driver).
             ext_tbl = None
             epoch_offers = 0
+            epoch_doc_offers = 0
             epoch_ok = 0
-            docs = None
             if fetched is not None:
                 if collect:
                     ext_tbl = _collect(fetched) or FETCHED_SCHEMA.empty_table()
                     epoch_offers = int(
                         pa.compute.sum(ext_tbl["offers_sent"]).as_py() or 0
                     )
+                    epoch_doc_offers = int(
+                        pa.compute.sum(ext_tbl["doc_offers_sent"]).as_py() or 0
+                    )
                     epoch_ok = int(
                         pa.compute.sum(ext_tbl["ok"]).as_py() or 0
                     )
-                    docs = explode_documents(ext_tbl)
                 else:
-                    combined = _collect(
-                        fetched.map_batches(_explode_and_count,
+                    stats = _collect(
+                        fetched.map_batches(_stat_counts,
                                             batch_format="pyarrow")
                     )
-                    if combined is not None:
+                    if stats is not None:
                         import pyarrow.compute as _pc
 
-                        stat_mask = _pc.is_null(combined["url"])
-                        stats = combined.filter(stat_mask)
                         epoch_ok = int(_pc.sum(stats["ok_n"]).as_py() or 0)
                         res.pages_fetched += epoch_ok
                         epoch_offers = int(
                             _pc.sum(stats["offers"]).as_py() or 0
                         )
-                        docs = combined.filter(
-                            _pc.invert(stat_mask)
-                        ).drop_columns(["n", "ok_n", "offers"])
-            _t = _tick("documents-explode", _t)
+                        epoch_doc_offers = int(
+                            _pc.sum(stats["doc_offers"]).as_py() or 0
+                        )
+            _t = _tick("stat-counts", _t)
 
-            # fence the offer stream, then drain the shards; the drains run
-            # while the download section below executes
+            # fence both offer streams, then drain: norm drains run async
+            # while the download section below executes; the doc drain is
+            # tiny (accepted NEW doc urls only) and feeds it
             offers_expected += epoch_offers
+            doc_offers_expected += epoch_doc_offers
             wait_offers_received(seen.handles(), "norm", offers_expected)
+            wait_offers_received(seen.handles(), "doc", doc_offers_expected)
             drain_refs = [
                 sh.drain_epoch.remote("norm") for sh in seen.handles()
             ]
+            new_tasks = _doc_drain_to_tasks(seen.drain("doc"))
             _t = _tick("offer-fence+drain-submit", _t)
 
-            # --- documents -> cross-epoch dedup -> simulated download ---
-            # (retry lane first with priority, then new tasks — T8)
+            # --- documents -> simulated download (dedup already happened
+            # in the shards' doc min-offer stream; retry lane first with
+            # priority, then new tasks — T8) ---
             dl_tbl, pending_retry, n_new_docs = _download_lane(
-                docs, pending_retry, seen, cfg, mode, corpus_ref,
+                new_tasks, pending_retry, cfg, mode, corpus_ref,
                 pages_path, epoch,
             )
 
@@ -940,6 +946,7 @@ def _run_crawl_dataset_frontier(
             echo=bool(os.environ.get("GRAFT_CRAWL_DEBUG")), reset=True,
         )
     offers_expected = 0
+    doc_offers_expected = 0
     res = CrawlRunResult()
     dl_acc: list[pa.Table] = []
     pending_retry: list[tuple[str, int, int]] = []
@@ -1111,36 +1118,38 @@ def _run_crawl_dataset_frontier(
                     os.path.join(extracted_sink, f"epoch={epoch}")
                 )
 
-            # explode + counters (one pipeline), then fence + drain refs
+            # counters (ONE tiny stats pipeline — doc offers are fused into
+            # the fetch tasks, no doc rows pass the driver), then fence +
+            # drain refs
             epoch_ok = 0
             epoch_offers = 0
+            epoch_doc_offers = 0
             epoch_sched = 0
-            docs = None
             if fetched is not None:
-                combined = _collect(
-                    fetched.map_batches(_explode_and_count,
+                stats = _collect(
+                    fetched.map_batches(_stat_counts,
                                         batch_format="pyarrow")
                 )
-                if combined is not None:
-                    stat_mask = pc.is_null(combined["url"])
-                    stats = combined.filter(stat_mask)
+                if stats is not None:
                     epoch_ok = int(pc.sum(stats["ok_n"]).as_py() or 0)
                     epoch_sched = int(pc.sum(stats["n"]).as_py() or 0)
                     epoch_offers = int(pc.sum(stats["offers"]).as_py() or 0)
-                    docs = combined.filter(pc.invert(stat_mask)).drop_columns(
-                        ["n", "ok_n", "offers"]
-                    )
+                    epoch_doc_offers = int(
+                        pc.sum(stats["doc_offers"]).as_py() or 0)
             res.pages_fetched += epoch_ok
             scheduled_total += epoch_sched
             offers_expected += epoch_offers
+            doc_offers_expected += epoch_doc_offers
             wait_offers_received(seen.handles(), "norm", offers_expected)
+            wait_offers_received(seen.handles(), "doc", doc_offers_expected)
             drain_refs = [
                 sh.drain_epoch_table.remote("norm") for sh in seen.handles()
             ]
+            new_tasks = _doc_drain_to_tasks(seen.drain("doc"))
 
             # downloads (the SHARED deterministic lane — _download_lane)
             dl_tbl, pending_retry, n_new_docs = _download_lane(
-                docs, pending_retry, seen, cfg, mode, corpus_ref,
+                new_tasks, pending_retry, cfg, mode, corpus_ref,
                 pages_path, epoch,
             )
             dl_acc.append(dl_tbl)
@@ -1317,23 +1326,14 @@ def _drained_to_frontier(t: pa.Table) -> pa.Table:
     )
 
 
-def _explode_and_count(batch: pa.Table) -> pa.Table:
-    """explode_documents plus one stat row (url=null) carrying the batch's
-    row/ok counters — fuses the collect=False counts pipeline into the
-    documents pipeline (one fewer per-epoch pipeline launch)."""
-    docs = explode_documents(batch)
-    n = docs.num_rows
-    docs = docs.append_column("n", pa.array([0] * n, pa.int64()))
-    docs = docs.append_column("ok_n", pa.array([0] * n, pa.int64()))
-    docs = docs.append_column("offers", pa.array([0] * n, pa.int64()))
-    stat = pa.table(
+def _stat_counts(batch: pa.Table) -> pa.Table:
+    """ONE counter row per fetched batch (collect=False path): row/ok
+    counts plus the fire-and-forget offer-entry counts the fetch task
+    stamped into its output — the driver sums these to fence both offer
+    streams. Document rows themselves never pass the driver (they ride the
+    shards' doc min-offer stream, see stages/fetch.offer_documents)."""
+    return pa.table(
         {
-            "url": pa.array([None], pa.string()),
-            "depth": pa.array([0], pa.int32()),
-            "p_priority": pa.array([0], pa.int32()),
-            "p_host": pa.array([None], pa.string()),
-            "p_norm": pa.array([None], pa.string()),
-            "p_url": pa.array([None], pa.string()),
             "n": pa.array([batch.num_rows], pa.int64()),
             "ok_n": pa.array(
                 [int(pa.compute.sum(batch["ok"]).as_py() or 0)], pa.int64()
@@ -1342,9 +1342,29 @@ def _explode_and_count(batch: pa.Table) -> pa.Table:
                 [int(pa.compute.sum(batch["offers_sent"]).as_py() or 0)],
                 pa.int64(),
             ),
+            "doc_offers": pa.array(
+                [int(pa.compute.sum(batch["doc_offers_sent"]).as_py() or 0)],
+                pa.int64(),
+            ),
         }
     )
-    return pa.concat_tables([docs, stat])
+
+
+def _doc_drain_to_tasks(drained: pa.Table) -> list[tuple[str, int, int]]:
+    """Accepted (url, min comparator key) doc rows from the shard drain ->
+    fresh download tasks (url, depth, attempt=0), url-sorted. The drain IS
+    the T3 dedup + winner selection: the lexicographic min of
+    stages/fetch.doc_offer_key equals the old driver-side sort by
+    (p_priority DESC, p_host, p_norm, p_url ASC); the winning parent's
+    depth rides in the key's fixed-width tail. assemble_drain already
+    norm-sorts, so the task order is deterministic."""
+    from ..stages.fetch import doc_key_depth
+
+    return [
+        (u, doc_key_depth(k), 0)
+        for u, k in zip(drained["url_norm"].to_pylist(),
+                        drained["key"].to_pylist())
+    ]
 
 
 def _empty_downloads(epoch: int) -> pa.Table:
@@ -1413,23 +1433,14 @@ def _scan_misses_dataset(marked2, fetched, cfg, seen_handles,
 
 
 
-def _download_lane(docs, pending_retry, seen, cfg, mode, corpus_ref,
+def _download_lane(new_tasks, pending_retry, cfg, mode, corpus_ref,
                    pages_path, epoch):
-    """T3 doc-dedup → T5 global budget → download → T8 retry requeue: the
-    SHARED deterministic lane for both frontier loops (one definition so
-    driver and dataset modes cannot drift; spec mirrored in
-    oracle/crawl_sim.py). Returns (dl_tbl, next_pending_retry, n_new)."""
-    new_tasks: list[tuple[str, int, int]] = []
-    if docs is not None and docs.num_rows:
-        ddf = docs.to_pandas().sort_values(
-            ["p_priority", "p_host", "p_norm", "p_url"],
-            ascending=[False, True, True, True], kind="mergesort",
-        ).drop_duplicates("url", keep="first")
-        new_mask = seen.check_and_add("doc", ddf["url"].tolist())
-        ddf = ddf[new_mask]
-        new_tasks = [
-            (u, int(d), 0) for u, d in sorted(zip(ddf["url"], ddf["depth"]))
-        ]
+    """T5 global budget → download → T8 retry requeue: the SHARED
+    deterministic lane for both frontier loops (one definition so driver
+    and dataset modes cannot drift; spec mirrored in oracle/crawl_sim.py).
+    T3 dedup + winner selection happened upstream in the seen shards' doc
+    min-offer stream (``new_tasks`` comes from _doc_drain_to_tasks).
+    Returns (dl_tbl, next_pending_retry, n_new)."""
     work = sorted(pending_retry) + new_tasks
     next_retry: list[tuple[str, int, int]] = []
     if cfg.download_budget_per_epoch > 0:

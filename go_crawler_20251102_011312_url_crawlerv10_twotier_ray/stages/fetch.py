@@ -68,9 +68,11 @@ FETCHED_SCHEMA = pa.schema(
         ("doc_count", pa.int32()),
         ("text", pa.string()),
         ("parse_error", pa.bool_()),
-        # per-batch offer-entry count (first row of the batch carries it):
-        # the driver sums this to fence the fire-and-forget offer stream
+        # per-batch offer-entry counts (first row of the batch carries
+        # them): the driver sums these to fence the fire-and-forget offer
+        # streams (norm candidates and document candidates respectively)
         ("offers_sent", pa.int64()),
+        ("doc_offers_sent", pa.int64()),
     ]
 )
 
@@ -127,16 +129,16 @@ def build_fetched_table(
                 take_idx,
             )
     cols["offers_sent"] = pa.array([0] * n, pa.int64())
+    cols["doc_offers_sent"] = pa.array([0] * n, pa.int64())
     return pa.table({f.name: cols[f.name] for f in FETCHED_SCHEMA})
 
 
-def _set_offers_sent(out: pa.Table, n_sent: int) -> pa.Table:
+def _set_counter(out: pa.Table, name: str, n_sent: int) -> pa.Table:
+    """Stamp a per-batch counter into the named column's first row."""
     if out.num_rows == 0 or n_sent == 0:
         return out
     col = pa.array([n_sent] + [0] * (out.num_rows - 1), pa.int64())
-    return out.set_column(
-        out.schema.get_field_index("offers_sent"), "offers_sent", col
-    )
+    return out.set_column(out.schema.get_field_index(name), name, col)
 
 
 # Per-worker-process cache for broadcast objects: a stateless map_batches
@@ -211,6 +213,68 @@ def offer_candidates(out_tbl: pa.Table, cand_kernel: CandidateLinks,
     return 0
 
 
+# Worker-local document-offer cache (same idea as _OFFER_CACHE): a doc this
+# worker already offered with key k needs re-offering only for a strictly
+# smaller key — hot documents are linked from many pages.
+_DOC_OFFER_CACHE: dict[str, dict[str, str]] = {}
+
+
+def doc_offer_key(p_priority: int, p_host: str, p_norm: str, p_url: str,
+                  depth: int) -> str:
+    """Encode the download-dedup winner comparator — (p_priority DESC,
+    p_host, p_norm, p_url ASC), the exact order oracle/crawl_sim.py and the
+    old driver-side pandas dedup apply — as ONE string whose lexicographic
+    MIN is the winner (priority is inverted into a fixed-width prefix;
+    \\x1f separators sort below every URL/host character because control
+    chars are rejected upstream). The depth payload rides in a fixed-width
+    tail: rows that tie on the full comparator are the same parent row, so
+    the tail never changes the winner — it just lets the drain recover the
+    winning parent's depth without a second lookup."""
+    return "%09d\x1f%s\x1f%s\x1f%s\x1f%09d" % (
+        999_999_999 - p_priority, p_host, p_norm, p_url, depth
+    )
+
+
+def doc_key_depth(key: str) -> int:
+    return int(key[key.rfind("\x1f") + 1:])
+
+
+def offer_documents(out_tbl: pa.Table, seen_handles: list,
+                    epoch_token: str = "") -> int:
+    """Explode the document candidates of a fetched batch (partial-deduped
+    per batch by explode_documents) and push (doc_url, comparator key)
+    offers to the seen shards' ``doc`` kind — the same fire-and-forget
+    min-offer stream the norm candidates use, replacing the driver-side
+    collect→sort→drop_duplicates→check_and_add funnel (T3). min is
+    order-independent ⇒ deterministic winner under any batch race."""
+    from .candidates import explode_documents
+
+    docs = explode_documents(out_tbl)
+    if not docs.num_rows:
+        return 0
+    if len(_DOC_OFFER_CACHE) > 2:  # keep only the current + previous epoch
+        for k in list(_DOC_OFFER_CACHE)[:-2]:
+            del _DOC_OFFER_CACHE[k]
+    cache = _DOC_OFFER_CACHE.setdefault(epoch_token, {})
+    urls_out: list[str] = []
+    keys_out: list[str] = []
+    for u, d, pp, ph, pn, pu in zip(
+        docs["url"].to_pylist(), docs["depth"].to_pylist(),
+        docs["p_priority"].to_pylist(), docs["p_host"].to_pylist(),
+        docs["p_norm"].to_pylist(), docs["p_url"].to_pylist(),
+    ):
+        key = doc_offer_key(pp, ph, pn, pu, d)
+        prev = cache.get(u)
+        if prev is not None and prev <= key:
+            continue
+        cache[u] = key
+        urls_out.append(u)
+        keys_out.append(key)
+    if urls_out:
+        return offer_min_batch(seen_handles, "doc", urls_out, keys_out)
+    return 0
+
+
 class FetchAndExtract:
     """Broadcast-mode fused fetch+extract+offer (stateless tasks +
     per-process broadcast cache; the seen-shard HANDLES travel in the
@@ -248,7 +312,9 @@ class FetchAndExtract:
         out = build_fetched_table(batch, statuses, bodies, self.extractor)
         n_sent = offer_candidates(out, self.cand_kernel, self.seen_handles,
                                   self.epoch_token)
-        return _set_offers_sent(out, n_sent)
+        n_doc = offer_documents(out, self.seen_handles, self.epoch_token)
+        out = _set_counter(out, "offers_sent", n_sent)
+        return _set_counter(out, "doc_offers_sent", n_doc)
 
 
 # per-worker-process scheduled-frontier index for scan mode: one concat +
@@ -354,4 +420,6 @@ class ExtractJoined:
         out = build_fetched_table(batch, statuses, bodies, self.extractor)
         n_sent = offer_candidates(out, self.cand_kernel, self.seen_handles,
                                   self.epoch_token)
-        return _set_offers_sent(out, n_sent)
+        n_doc = offer_documents(out, self.seen_handles, self.epoch_token)
+        out = _set_counter(out, "offers_sent", n_sent)
+        return _set_counter(out, "doc_offers_sent", n_doc)
