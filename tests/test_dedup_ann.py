@@ -94,6 +94,42 @@ def test_minhash_lsh_distributed_mode_matches_driver_mode(planted_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_distributed_recall_at_sf01(tmp_path):
+    """Planted-near-dup recall for the DISTRIBUTED tail at sf0.1 scale
+    (5k real docs + 20 planted one-word-changed near-dups): the constants
+    (shingle size, bands) were tuned small — this gate catches recall
+    collapse as the corpus grows, in the exact mode the 100 TB path uses."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    base = pq.read_table(
+        "/root/testdata/sf0.1/documents.parquet"
+    ).to_pandas()
+    rng = np.random.RandomState(7)
+    # plant near-dups of 20 reasonably long docs: change ONE word each
+    longs = base[base["n_chars"] >= 400].head(20)
+    planted, expected = [], set()
+    for k, (_, row) in enumerate(longs.iterrows()):
+        w = row["text"].split()
+        w[rng.randint(1, len(w) - 1)] = "xqzv"
+        new_id = 1_000_000 + k
+        planted.append(
+            {"doc_id": new_id, "text": " ".join(w), "lang": row["lang"],
+             "source": row["source"], "n_chars": len(" ".join(w))}
+        )
+        expected.add((int(row["doc_id"]), new_id))
+    big = pd.concat([base, pd.DataFrame(planted)], ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(big, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+
+    out = dedup_minhash_lsh(str(tmp_path), mode="distributed")
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    found = sum(1 for p in expected if p in pairs)
+    assert found / len(expected) >= 0.9, (found, len(expected))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_simhash_finds_exact_dups(planted_dir):
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
         dedup_simhash,
@@ -198,15 +234,19 @@ def test_embedding_cosine_lsh_distributed_matches_driver(planted_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_ann_lsh_recall_at_sf001():
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_ann_lsh_recall(sf):
     """recall@5 vs brute force ≥ 0.6 on the (non-planted, near-isotropic —
-    LSH-worst-case) sf0.01 embeddings."""
+    LSH-worst-case) embeddings at BOTH test scales — the constants were
+    tuned at sf0.01; the sf0.1 leg catches recall collapse as the corpus
+    grows (measured 0.76 at sf0.01, 0.86 at sf0.1)."""
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.ann import (
         ann_bruteforce_topk,
         ann_lsh_topk,
     )
 
-    sf = "/root/testdata/sf0.01"
     bf = ann_bruteforce_topk(sf)
     lsh = ann_lsh_topk(sf)
     bfs = {q: set(g["vec_id"]) for q, g in bf.groupby("query_id")}
@@ -235,16 +275,19 @@ def test_ann_lsh_recall_vs_bruteforce(planted_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_ann_ivf_recall_at_sf001():
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_ann_ivf_recall(sf):
     """IVF recall@5 vs brute force ≥ 0.6 on the (near-isotropic —
-    IVF-worst-case) sf0.01 embeddings. Deterministic: seeded k-means on a
-    fixed sample (measured 0.72 at nlist=16/nprobe=6)."""
+    IVF-worst-case) embeddings at BOTH test scales. Deterministic: seeded
+    k-means on a fixed sample (measured 0.72 at sf0.01 and sf0.1 with
+    nlist=16/nprobe=6)."""
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.ann import (
         ann_bruteforce_topk,
         ann_ivf_topk,
     )
 
-    sf = "/root/testdata/sf0.01"
     bf = ann_bruteforce_topk(sf)
     ivf = ann_ivf_topk(sf)
     bfs = {q: set(g["vec_id"]) for q, g in bf.groupby("query_id")}
