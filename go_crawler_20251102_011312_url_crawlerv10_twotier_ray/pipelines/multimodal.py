@@ -3,8 +3,9 @@ map_batches stages.
 
 The container has no image/audio codecs, so the DECODE step is stubbed
 behind an import-gate (a deterministic fake stands in; install Pillow and
-``RealImageDecode`` takes over) — but everything Ray-side is real and
-tested: binary-column batching with small batch sizes for wide rows, typed
+``DecodeAndFeaturize(strict_real=True)`` switches to the ``real_decode``
+codec path — same output contract, per-payload error isolation) — but
+everything Ray-side is real and tested: binary-column batching with small batch sizes for wide rows, typed
 metadata schema, actor-pool signature with per-actor setup, stable output
 layout. The payload column used here is the synthetic corpus's ``html``
 binary column (same Arrow plumbing as image/audio bytes).
@@ -50,11 +51,37 @@ def fake_decode(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
 
 def _real_decode_available() -> bool:
     try:
-        import PIL  # noqa: F401
+        import PIL.Image  # noqa: F401
 
         return True
     except ImportError:
         return False
+
+
+def real_decode(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
+    """Actual codec decode (requires Pillow): same output contract as
+    fake_decode. Features are a FEATURE_DIM-cell grayscale thumbnail
+    (mean-pooled), feat_crc an exact integer checksum of the scaled cells.
+    Payloads that fail to decode (e.g. the synthetic corpus's html bytes)
+    come back as ("error", 0, 0, 0, zeros) rather than poisoning the
+    batch — at 100 TB a bad byte-run must never kill the stage."""
+    import io
+
+    import PIL.Image
+
+    try:
+        with PIL.Image.open(io.BytesIO(payload)) as im:
+            fmt = (im.format or "unknown").lower()
+            width, height = im.size
+            side = int(np.sqrt(FEATURE_DIM))
+            gray = np.asarray(
+                im.convert("L").resize((side, side)), dtype=np.float32
+            ).reshape(-1)[:FEATURE_DIM]
+            feats = gray / np.float32(255.0)
+            crc = int(np.round(gray).astype(np.uint64).sum())
+            return fmt, width, height, crc, feats
+    except Exception:
+        return "error", 0, 0, 0, np.zeros(FEATURE_DIM, dtype=np.float32)
 
 
 class DecodeAndFeaturize:
@@ -74,6 +101,10 @@ class DecodeAndFeaturize:
                 "real image decode requires Pillow, which is not installed; "
                 "run with strict_real=False for the deterministic stub"
             )
+        # selected ONCE per actor (the setup-once pattern); fake unless the
+        # caller explicitly asked for the codec path — the driver oracle is
+        # minted against the deterministic stub
+        self._decode = real_decode if strict_real else fake_decode
 
     def __call__(self, t: pa.Table) -> pa.Table:
         urls = t["url"].to_pylist()
@@ -81,7 +112,7 @@ class DecodeAndFeaturize:
         fmts, ws, hs, crcs, feats = [], [], [], [], []
         for p in payloads:
             p = p or b""
-            f, w, h, c, v = fake_decode(p)
+            f, w, h, c, v = self._decode(p)
             fmts.append(f)
             ws.append(w)
             hs.append(h)
