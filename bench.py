@@ -204,6 +204,53 @@ def _section_steady(fetch_mode: str) -> dict:
     return out
 
 
+def section_ckpt_steady() -> dict:
+    """Checkpoint overhead for the 100 TB resumable mode: the SAME
+    dataset-frontier steady epoch twice in one fresh session — without and
+    with ``checkpoint_dir`` (per-epoch distributed frontier parquet +
+    meta.json). The delta prices what a resumable run costs per epoch."""
+    import shutil
+    import tempfile
+
+    ray = _init_session()
+    import pyarrow.parquet as pq
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.config import (
+        CrawlConfig,
+    )
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.crawl import (
+        run_crawl,
+    )
+
+    corpus_dir = _bench_corpus()
+    pages_dir = os.path.join(corpus_dir, "pages")
+    _warm_cache(pages_dir)
+    _warm_workers(corpus_dir)
+    all_urls = pq.read_table(pages_dir, columns=["url"])["url"].to_pylist()
+
+    def one(ck_dir: str | None) -> float:
+        t0 = time.perf_counter()
+        run_crawl(corpus_dir,
+                  CrawlConfig(record_order=False, frontier_mode="dataset",
+                              checkpoint_dir=ck_dir),
+                  seeds=all_urls, max_epochs=1, collect=False)
+        return round(time.perf_counter() - t0, 3)
+
+    plain = one(None)
+    ck = tempfile.mkdtemp(prefix="graft_ckpt_bench_")
+    try:
+        with_ck = one(ck)
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    out = {
+        "queries": {"crawl_ckpt_steady": with_ck},
+        "ckpt_plain_sec": plain,
+        "ckpt_overhead_pct": round(100.0 * (with_ck - plain) / plain, 1),
+    }
+    ray.shutdown()
+    return out
+
+
 def section_queries() -> dict:
     """The generic operator surface over $GRAFT_SF_DIR — in a session no
     crawl has touched."""
@@ -237,6 +284,7 @@ SECTIONS = {
     "crawl": section_crawl,
     "join_steady": lambda: _section_steady("join"),
     "scan_steady": lambda: _section_steady("scan"),
+    "ckpt_steady": section_ckpt_steady,
     "queries": section_queries,
 }
 
@@ -247,7 +295,8 @@ def run_bench() -> dict:
     _bench_corpus()
     queries: dict[str, float] = {}
     extra: dict = {}
-    for name in ("crawl", "join_steady", "scan_steady", "queries"):
+    for name in ("crawl", "join_steady", "scan_steady", "ckpt_steady",
+                 "queries"):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--section", name],
             capture_output=True, text=True,
