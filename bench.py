@@ -366,7 +366,7 @@ def run_steady() -> dict:
 
     # broadcast the corpus index untimed: at steady state the mapping is
     # already resident (and on a real cluster it is per-node, not per-run)
-    corpus_tbl = pq.read_table(pages_dir, columns=["url", "html"]).combine_chunks()
+    corpus_tbl = pq.read_table(pages_dir, columns=["url", "html"])
     corpus_ref = ray.put(corpus_tbl)
     del corpus_tbl
 

@@ -274,20 +274,19 @@ class DownloadSim:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..stages.fetch import cached_corpus_index
 
-        idx, html_col = cached_corpus_index(self.corpus_ref)
+        idx, _html_col, corpus_lens = cached_corpus_index(self.corpus_ref)
         urls = batch["url"].to_pylist()
         rows = [idx.get(fetch_key(u)) for u in urls]
         oks = [r is not None for r in rows]
-        # sizes via binary_length on a take — never materializes the page
-        # bytes into the Python heap (corpus_lookup's .as_py() copied each
-        # full body out of plasma just to take its len)
+        # sizes via the cached per-row length array — page bytes are never
+        # touched (a binary-column take here overflowed Arrow's int32
+        # offsets once the taken bodies crossed 2 GiB on big doc batches)
         sizes = np.zeros(len(urls), np.int64)
         hit_pos = [i for i, r in enumerate(rows) if r is not None]
         if hit_pos:
-            lens = pa.compute.binary_length(
-                html_col.take(pa.array([rows[i] for i in hit_pos], pa.int64()))
-            ).to_numpy(zero_copy_only=False)
-            sizes[hit_pos] = lens
+            sizes[hit_pos] = corpus_lens[
+                np.array([rows[i] for i in hit_pos], np.int64)
+            ]
         return pa.table(
             {
                 "url": batch["url"],
@@ -345,6 +344,19 @@ def run_crawl(
     robots_disallow = robots_disallow if cfg.respect_robots else {}
 
     pages_path = os.path.join(corpus_dir, "pages")
+    import sys as _sys0
+    import time as _time0
+
+    _setup_t = _time0.perf_counter()
+
+    def _setup_tick(label):
+        nonlocal _setup_t
+        if os.environ.get("GRAFT_CRAWL_DEBUG"):
+            print(f"[crawl setup] {label}: "
+                  f"{_time0.perf_counter()-_setup_t:.2f}s at "
+                  f"{_time0.time():.3f}", file=_sys0.stderr, flush=True)
+        _setup_t = _time0.perf_counter()
+
     import pyarrow.dataset as pads
 
     n_corpus_rows = pads.dataset(pages_path).count_rows()
@@ -354,9 +366,13 @@ def run_crawl(
 
     if mode == "broadcast" and corpus_ref is None:
         # broadcast as an Arrow table: zero-copy page bytes in plasma,
-        # shared by every worker process (stages/fetch.cached_corpus_index)
-        t = pq.read_table(pages_path, columns=["url", "html"]).combine_chunks()
+        # shared by every worker process (stages/fetch.cached_corpus_index).
+        # NO combine_chunks: per-row chunked access costs the same (~18 µs),
+        # while combining 2.4 GB of binary chunks measured 2-9 s of pure
+        # allocator churn in a warm session
+        t = pq.read_table(pages_path, columns=["url", "html"])
         corpus_ref = ray.put(t)
+    _setup_tick("corpus-broadcast")
 
     # dataset-frontier dispatch: the steady/scale loop keeps the frontier
     # distributed end-to-end (no driver materialization of candidates)
@@ -380,6 +396,7 @@ def run_crawl(
     if n_shards <= 0:
         n_shards = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
     seen = ShardedSeen(n_shards)
+    _setup_tick("seen-shards")
     offers_expected = 0  # cumulative fence targets for fire-and-forget offers
     doc_offers_expected = 0
     metrics = None
@@ -1458,8 +1475,11 @@ def _download_lane(new_tasks, pending_retry, cfg, mode, corpus_ref,
             }
         )
         if mode == "broadcast":
+            d_ds = rd.from_arrow(d_tbl)  # ONE block — split before mapping
+            if d_tbl.num_rows > 16384:
+                d_ds = d_ds.repartition(max(2, d_tbl.num_rows // 8192))
             dl_out = _collect(
-                rd.from_arrow(d_tbl).map_batches(
+                d_ds.map_batches(
                     DownloadSim(cfg, corpus_ref), batch_format="pyarrow",
                 )
             )

@@ -159,17 +159,26 @@ def cached_broadcast(ref):
 def cached_corpus_index(ref):
     """Broadcast corpus = a pyarrow Table (url, html): ray.get is ZERO-COPY
     for Arrow buffers (plasma shared memory), so worker processes share the
-    page bytes; only the url→row index dict lives in each process heap."""
+    page bytes; only the url→row index dict (plus an int64 per-row body
+    LENGTH array — computed per chunk, so the >2 GiB binary column is never
+    concatenated; ``ChunkedArray.take`` on it overflows int32 offsets when
+    the taken bodies exceed 2 GiB) lives in each process heap."""
+    import numpy as np
+    import pyarrow.compute as pc
+
     key = ref.hex() + ":idx"
     if key not in _WORKER_CACHE:
         tbl = cached_broadcast(ref)
         idx = {u: i for i, u in enumerate(tbl["url"].to_pylist())}
-        _WORKER_CACHE[key] = (idx, tbl["html"])
+        lens = np.concatenate(
+            [pc.binary_length(c).to_numpy() for c in tbl["html"].chunks]
+        ).astype(np.int64) if tbl.num_rows else np.zeros(0, np.int64)
+        _WORKER_CACHE[key] = (idx, tbl["html"], lens)
     return _WORKER_CACHE[key]
 
 
 def corpus_lookup(ref, fk: str | None) -> bytes | None:
-    idx, html_col = cached_corpus_index(ref)
+    idx, html_col, _ = cached_corpus_index(ref)
     if fk is None:
         return None
     i = idx.get(fk)
