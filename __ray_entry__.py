@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnowing": text.doc_winnowing,
         "lang_id": text.lang_id,
         "lang_distribution": text.lang_distribution,
+        "repetition_scores": text.repetition_scores,
+        "top_ngrams": text.top_ngrams,
     }
 
 
@@ -142,4 +144,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": text.QUALITY_SQL,
         "doc_fingerprints": text.FINGERPRINT_SQL,
         "lang_distribution": text.LANG_DIST_SQL,
+        "repetition_scores": text.REPETITION_SQL,
+        "top_ngrams": text.TOP_NGRAMS_SQL,
     }

@@ -239,6 +239,156 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# repetition scoring (Gopher-style quality filters; SQL-checkable)
+# ---------------------------------------------------------------------------
+
+
+def repetition_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-doc repetition signals in the style of the Gopher/MassiveText
+    quality rules: top-word fraction and duplicate bigram/trigram fractions
+    (all basis-point-scaled int64 so the dtype-sensitive value hash holds).
+    One vectorized pandas pass per batch: explode words once, derive word
+    counts and shifted n-grams from the exploded frame — no per-doc Python."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = pd.Series(t["text"].to_pylist())
+        words = s.str.split()
+        n_words = words.str.len().fillna(0).astype("int64")
+        ex = words.explode().dropna()
+        idx = pd.RangeIndex(len(s))
+
+        wc = pd.DataFrame({"i": ex.index, "w": ex.values}).groupby(
+            ["i", "w"], sort=False
+        ).size()
+        top = wc.groupby(level=0).max().reindex(idx, fill_value=0)
+        nuniq = wc.groupby(level=0).size().reindex(idx, fill_value=0)
+
+        nxt = ex.groupby(level=0).shift(-1)
+        big = (ex + " " + nxt).dropna()
+        nxt2 = ex.groupby(level=0).shift(-2)
+        tri = (ex + " " + nxt + " " + nxt2).dropna()
+        n_big = (n_words - 1).clip(lower=0)
+        n_tri = (n_words - 2).clip(lower=0)
+        uniq_big = big.groupby(level=0).nunique().reindex(idx, fill_value=0)
+        uniq_tri = tri.groupby(level=0).nunique().reindex(idx, fill_value=0)
+
+        def bp(dup, n):
+            return (
+                np.asarray(dup, np.int64) * 10000
+                // np.maximum(np.asarray(n, np.int64), 1)
+            )
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_unique_words": pa.array(
+                    nuniq.astype("int64"), pa.int64()),
+                "top_word_count": pa.array(top.astype("int64"), pa.int64()),
+                "top_word_frac_bp": pa.array(bp(top, n_words), pa.int64()),
+                "dup_bigram_frac_bp": pa.array(
+                    bp(n_big - uniq_big, n_big), pa.int64()),
+                "dup_trigram_frac_bp": pa.array(
+                    bp(n_tri - uniq_tri, n_tri), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(rep, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+), base AS (
+  SELECT doc_id, ws, len(ws) AS n_words,
+         list_transform(range(1, greatest(len(ws), 1)),
+                        i -> ws[i] || ' ' || ws[i+1]) AS bigs,
+         list_transform(range(1, greatest(len(ws) - 1, 1)),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tris
+  FROM t
+), wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w
+), topw AS (
+  SELECT doc_id, max(c) AS top_word_count, count(*) AS n_unique_words
+  FROM wc GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_words AS BIGINT) AS n_words,
+       CAST(coalesce(topw.n_unique_words, 0) AS BIGINT) AS n_unique_words,
+       CAST(coalesce(topw.top_word_count, 0) AS BIGINT) AS top_word_count,
+       CAST(coalesce(topw.top_word_count, 0) * 10000
+            // greatest(b.n_words, 1) AS BIGINT) AS top_word_frac_bp,
+       CAST((len(b.bigs) - len(list_distinct(b.bigs))) * 10000
+            // greatest(len(b.bigs), 1) AS BIGINT) AS dup_bigram_frac_bp,
+       CAST((len(b.tris) - len(list_distinct(b.tris))) * 10000
+            // greatest(len(b.tris), 1) AS BIGINT) AS dup_trigram_frac_bp
+FROM base b LEFT JOIN topw ON b.doc_id = topw.doc_id
+ORDER BY b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-level top n-grams (partial-aggregate pattern; SQL-checkable)
+# ---------------------------------------------------------------------------
+
+
+def top_ngrams(sf_dir: str, topn: int = 20) -> pd.DataFrame:
+    """Top-``topn`` corpus bigrams by occurrence count — the corpus-stats
+    shape (vocabulary/n-gram tables) of a training-data pipeline. Counts are
+    pre-aggregated INSIDE map_batches (one (ngram, cnt) row per distinct
+    bigram per batch), so the shuffle moves partial counts, never n-gram
+    occurrences; the global groupby-sum is followed by a distributed sort +
+    limit, so only ``topn`` rows ever reach the driver. Ties break on the
+    n-gram string, matching the SQL oracle."""
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist())
+        ex = s.str.split().explode().dropna()
+        nxt = ex.groupby(level=0).shift(-1)
+        vc = (ex + " " + nxt).dropna().value_counts()
+        return pa.table(
+            {
+                "ngram": pa.array(vc.index.to_numpy(), pa.string()),
+                "n_occ": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("n_occ", alias_name="n_occ"))
+        .sort(["n_occ", "ngram"], descending=[True, False])
+        .limit(topn)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
+TOP_NGRAMS_SQL = r"""
+WITH t AS (SELECT regexp_extract_all(text, '\S+') AS ws FROM documents),
+b AS (
+  SELECT unnest(list_transform(range(1, greatest(len(ws), 1)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS ngram
+  FROM t
+)
+SELECT ngram, count(*) AS n_occ FROM b GROUP BY ngram
+ORDER BY n_occ DESC, ngram LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus language distribution (SQL-checkable groupby over the lang column)
 # ---------------------------------------------------------------------------
 
