@@ -40,6 +40,8 @@ _JACCARD_QUERY_THRESHOLD = 0.3  # dedup_ngram_jaccard default
 _SIMHASH_MAX_HAMMING = 3
 _WINNOW_K = 8
 _WINNOW_W = 16
+_WINNOW_PAIR_MAX_FREQ = 20   # dedup_winnow_pairs boilerplate-fp cap
+_WINNOW_PAIR_MIN_SHARED = 3  # dedup_winnow_pairs pair threshold
 
 ORACLE_VERSION = "v1"  # bump to invalidate minted caches
 
@@ -278,4 +280,20 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
             f"SELECT * FROM read_parquet('{d}/oracle_ngram_jaccard.parquet') "
             "ORDER BY doc_a, doc_b"
         ),
+        # derived relationally from the SAME minted per-doc fingerprints the
+        # doc_winnowing hash check pins — an independent code path for the
+        # pair semantics (DuckDB join/groupby vs the engine's Dataset join)
+        "dedup_winnow_pairs": f"""
+WITH fp AS (SELECT doc_id, fp
+            FROM read_parquet('{d}/oracle_winnowing.parquet')),
+ok AS (SELECT fp FROM fp GROUP BY fp
+       HAVING count(*) BETWEEN 2 AND {_WINNOW_PAIR_MAX_FREQ}),
+j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fp a JOIN fp b USING (fp)
+      WHERE a.doc_id < b.doc_id AND a.fp IN (SELECT fp FROM ok))
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS shared_fps
+FROM j GROUP BY doc_a, doc_b
+HAVING count(*) >= {_WINNOW_PAIR_MIN_SHARED}
+ORDER BY doc_a, doc_b
+""",
     }

@@ -828,3 +828,107 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_QUERY_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
+
+
+# ---------------------------------------------------------------------------
+# winnowing-fingerprint near-dup pairs (deterministic; oracle-checkable via
+# the minted oracle_winnowing parquet — unlike MinHash there is no
+# randomness, so the full value hash holds)
+# ---------------------------------------------------------------------------
+
+WINNOW_PAIR_MAX_FREQ = 20   # drop fps shared by more docs (boilerplate)
+WINNOW_PAIR_MIN_SHARED = 3  # pair threshold: shared fingerprints
+_WINNOW_SMALL_LIMIT = 2_000_000  # fp rows below which the driver tail wins
+
+
+def dedup_winnow_pairs(
+    sf_dir: str,
+    max_fp_freq: int = WINNOW_PAIR_MAX_FREQ,
+    min_shared: int = WINNOW_PAIR_MIN_SHARED,
+    mode: str = "auto",
+) -> pd.DataFrame:
+    """Near-dup pairs sharing ≥ ``min_shared`` winnowing fingerprints,
+    ignoring fps present in > ``max_fp_freq`` docs (boilerplate/hot-key
+    guard — the same reason MinHash drops nothing but SimHash bands cap
+    candidates: a corpus-wide fp would emit O(n²) pairs). Returns
+    (doc_a, doc_b, shared_fps), doc_a < doc_b.
+
+    Size-adaptive like dedup_minhash_lsh:
+    - driver tail (small): (doc_id, fp) pandas merge on fp;
+    - distributed tail (100 TB path): fp-frequency groupby → eligible-fp
+      broadcast filter → fps ⋈ fps on fp (hash join, bounded ≤ max_fp_freq
+      per key) → pair groupby count. Texts never shuffle — only 16 B/row
+      (doc_id, fp) pairs.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .text import winnow_rows_batch
+
+    out_cols = {"doc_a": "int64", "doc_b": "int64", "shared_fps": "int64"}
+    fps = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(winnow_rows_batch, batch_format="pyarrow",
+                     batch_size=256)
+        .materialize()
+    )
+
+    distributed = mode == "distributed" or (
+        mode == "auto" and fps.count() > _WINNOW_SMALL_LIMIT
+    )
+
+    if not distributed:
+        df = fps.to_pandas()
+        vc = df["fp"].value_counts()
+        ok = vc[(vc >= 2) & (vc <= max_fp_freq)].index
+        df = df[df["fp"].isin(ok)]
+        j = df.merge(df, on="fp", suffixes=("_l", "_r"))
+        j = j[j["doc_id_l"] < j["doc_id_r"]]
+        pairs = (
+            j.groupby(["doc_id_l", "doc_id_r"], sort=False).size()
+            .reset_index(name="shared_fps")
+        )
+        pairs = pairs[pairs["shared_fps"] >= min_shared]
+        pairs.columns = ["doc_a", "doc_b", "shared_fps"]
+        if not len(pairs):
+            return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+        return (
+            pairs.astype(out_cols)
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+
+    # ---- distributed tail ----
+    ok = (
+        fps.groupby("fp").aggregate(Count(alias_name="n"))
+        .filter(expr=f"n >= 2 and n <= {max_fp_freq}")
+        .to_pandas()  # eligible fp KEYS only (bounded by distinct fps)
+    )
+    if not len(ok):
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    ok_ref = ray.put(pa.array(ok["fp"], pa.int64()))
+
+    def keep_ok(t: pa.Table) -> pa.Table:
+        from ..stages.fetch import cached_broadcast
+
+        return t.filter(pc.is_in(t["fp"], value_set=cached_broadcast(ok_ref)))
+
+    elig = fps.map_batches(keep_ok, batch_format="pyarrow").materialize()
+    n_part = max(4, min(1024, elig.count() // 250_000 + 1))
+    j = elig.join(
+        elig.rename_columns({"doc_id": "doc_b"}),
+        join_type="inner", num_partitions=n_part, on=("fp",),
+    ).filter(expr="doc_id < doc_b")
+    pairs = (
+        j.groupby(["doc_id", "doc_b"]).aggregate(Count(alias_name="shared_fps"))
+        .filter(expr=f"shared_fps >= {min_shared}")
+        .rename_columns({"doc_id": "doc_a"})
+        .to_pandas()
+    )
+    if not len(pairs):
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return (
+        pairs[list(out_cols)].astype(out_cols)
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )

@@ -140,27 +140,29 @@ SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id
 """
 
 
+def winnow_rows_batch(t: pa.Table) -> pa.Table:
+    """Explode one batch of documents to (doc_id, fp) winnowing rows —
+    shared by doc_winnowing and dedup.dedup_winnow_pairs."""
+    from ..functions.hashing import rolling_fingerprints
+
+    ids, fps = [], []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for f in rolling_fingerprints(text):
+            ids.append(doc_id)
+            fps.append(f & 0x7FFFFFFFFFFFFFFF)
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "fp": pa.array(fps, pa.int64())}
+    )
+
+
 def doc_winnowing(sf_dir: str) -> pd.DataFrame:
     """Winnowing fingerprints (rolling-hash window minima, Schleimer et
     al.) per doc, exploded to (doc_id, fp) rows — relational shape, and
     hash-checkable against the pinned per-doc reference
     (oracle/textops.py: direct k-gram hashing, plain-loop minima)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def fp(t: pa.Table) -> pa.Table:
-        from ..functions.hashing import rolling_fingerprints
-
-        ids, fps = [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            for f in rolling_fingerprints(text):
-                ids.append(doc_id)
-                fps.append(f & 0x7FFFFFFFFFFFFFFF)
-        return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()),
-             "fp": pa.array(fps, pa.int64())}
-        )
-
-    out = ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+    out = ds.map_batches(winnow_rows_batch, batch_format="pyarrow").to_pandas()
     return out.sort_values(["doc_id", "fp"]).reset_index(drop=True)
 
 

@@ -176,6 +176,33 @@ def test_simhash_distributed_mode_matches_driver_mode(planted_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_winnow_pairs_finds_planted(planted_dir):
+    """Winnowing-fingerprint pairs are deterministic — exact copies share
+    every fingerprint and one-word near-dups share most of them."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        dedup_winnow_pairs,
+    )
+
+    out = dedup_winnow_pairs(planted_dir)
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 40) in pairs and (0, 41) in pairs and (40, 41) in pairs
+    assert (1, 42) in pairs
+    assert (2, 43) in pairs and (3, 44) in pairs  # near-dups survive
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_pairs_distributed_mode_matches_driver_mode(planted_dir):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        dedup_winnow_pairs,
+    )
+
+    drv = dedup_winnow_pairs(planted_dir, mode="driver")
+    dst = dedup_winnow_pairs(planted_dir, mode="distributed")
+    pd.testing.assert_frame_equal(drv, dst)
+    assert (0, 40) in set(zip(dst["doc_a"], dst["doc_b"]))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_embedding_cosine_finds_planted(planted_dir):
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
         dedup_embedding_cosine,
