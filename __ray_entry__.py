@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine_query,
         "dedup_winnow_pairs": dedup.dedup_winnow_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         # --- similarity search ---
         "ann_bruteforce_topk": ann.ann_bruteforce_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,

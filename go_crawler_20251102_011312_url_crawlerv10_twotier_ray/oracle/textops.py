@@ -296,4 +296,39 @@ FROM j GROUP BY doc_a, doc_b
 HAVING count(*) >= {_WINNOW_PAIR_MIN_SHARED}
 ORDER BY doc_a, doc_b
 """,
+        # connected components over exact-md5 star edges + the SAME winnow
+        # pair semantics, as a DuckDB recursive CTE (min-reachable-id
+        # labels) — a fully independent implementation of the engine's
+        # union-find / label-propagation tails
+        "dedup_clusters": f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id, md5(text) AS h
+         FROM read_parquet('{sf_dir}/documents.parquet')),
+er AS (SELECT h, min(doc_id) AS root FROM docs GROUP BY h),
+exact_edges AS (SELECT d.doc_id AS a, er.root AS b
+                FROM docs d JOIN er USING (h) WHERE er.root < d.doc_id),
+fp AS (SELECT doc_id, fp FROM read_parquet('{d}/oracle_winnowing.parquet')),
+okf AS (SELECT fp FROM fp GROUP BY fp
+        HAVING count(*) BETWEEN 2 AND {_WINNOW_PAIR_MAX_FREQ}),
+wj AS (SELECT a.doc_id AS a, b.doc_id AS b
+       FROM fp a JOIN fp b USING (fp)
+       WHERE a.doc_id < b.doc_id AND a.fp IN (SELECT fp FROM okf)),
+wpairs AS (SELECT a, b FROM wj GROUP BY a, b
+           HAVING count(*) >= {_WINNOW_PAIR_MIN_SHARED}),
+edges AS (SELECT a, b FROM exact_edges UNION SELECT a, b FROM wpairs),
+bidir AS (SELECT a AS src, b AS dst FROM edges
+          UNION SELECT b AS src, a AS dst FROM edges),
+reach(doc_id, root) AS (
+    SELECT doc_id, doc_id FROM docs
+    UNION
+    SELECT bi.dst, r.root FROM reach r JOIN bidir bi ON bi.src = r.doc_id
+),
+cl AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM cl GROUP BY cluster_id)
+SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+       (cl.doc_id = cl.cluster_id) AS keep
+FROM cl JOIN sz USING (cluster_id)
+ORDER BY cl.doc_id
+""",
     }

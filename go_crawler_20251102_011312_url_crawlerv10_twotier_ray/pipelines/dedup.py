@@ -899,13 +899,37 @@ def dedup_winnow_pairs(
         )
 
     # ---- distributed tail ----
+    pairs_ds = _winnow_pairs_ds(fps, max_fp_freq, min_shared)
+    if pairs_ds is None:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    pairs = pairs_ds.to_pandas()
+    if not len(pairs):
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    return (
+        pairs[list(out_cols)].astype(out_cols)
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def _winnow_pairs_ds(
+    fps: rd.Dataset, max_fp_freq: int, min_shared: int
+) -> rd.Dataset | None:
+    """Fully distributed winnow pair-gen over a materialized (doc_id, fp)
+    Dataset: fp-frequency groupby → eligible-fp broadcast filter → fps ⋈
+    fps on fp (hash join, bounded ≤ max_fp_freq rows per key) → pair
+    groupby count. Returns a (doc_a, doc_b, shared_fps) Dataset, or None
+    when no fp is shared. Texts never shuffle — only 16 B/row fp pairs."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
     ok = (
         fps.groupby("fp").aggregate(Count(alias_name="n"))
         .filter(expr=f"n >= 2 and n <= {max_fp_freq}")
         .to_pandas()  # eligible fp KEYS only (bounded by distinct fps)
     )
     if not len(ok):
-        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+        return None
     ok_ref = ray.put(pa.array(ok["fp"], pa.int64()))
 
     def keep_ok(t: pa.Table) -> pa.Table:
@@ -919,16 +943,186 @@ def dedup_winnow_pairs(
         elig.rename_columns({"doc_id": "doc_b"}),
         join_type="inner", num_partitions=n_part, on=("fp",),
     ).filter(expr="doc_id < doc_b")
-    pairs = (
+    return (
         j.groupby(["doc_id", "doc_b"]).aggregate(Count(alias_name="shared_fps"))
         .filter(expr=f"shared_fps >= {min_shared}")
         .rename_columns({"doc_id": "doc_a"})
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected-component dedup clusters (deterministic: exact-md5 star edges +
+# winnow near-dup pairs → min-id components; the "keep one per cluster"
+# primitive a training-data pipeline runs after pair generation)
+# ---------------------------------------------------------------------------
+
+CLUSTER_SMALL_LIMIT = 5_000_000  # document rows below which union-find wins
+_CLUSTER_MAX_ITERS = 64          # label-prop bound (clusters are star-ish)
+
+
+def _md5_rows(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "h": pa.array(
+                [hashlib.md5(x.encode()).hexdigest()
+                 for x in t["text"].to_pylist()],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def dedup_clusters(
+    sf_dir: str,
+    max_fp_freq: int = WINNOW_PAIR_MAX_FREQ,
+    min_shared: int = WINNOW_PAIR_MIN_SHARED,
+    mode: str = "auto",
+) -> pd.DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the union of
+    exact-dup star edges (doc → min doc_id of its md5 group) and winnowing
+    near-dup pairs (dedup_winnow_pairs semantics). One row per document:
+    (doc_id, cluster_id = min doc_id in component, cluster_size, keep =
+    doc_id == cluster_id). Deterministic → full SQL value-hash oracle via
+    a DuckDB recursive CTE (oracle/textops.py).
+
+    Size-adaptive on document count:
+    - driver tail: union-find with path compression over the (tiny) edge
+      list; edges came from distributed stages, texts never collected.
+    - distributed tail (100 TB path): iterative min-label propagation —
+      labels ⋈ edges → groupby(doc).min — which converges in O(component
+      diameter) rounds (star edges keep exact-dup components at diameter
+      ≤ 2). Each round shuffles only (doc_id, label) int64 pairs.
+    """
+    from ray.data.aggregate import Count, Min
+
+    from .text import winnow_rows_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    hashes = docs.map_batches(_md5_rows, batch_format="pyarrow").materialize()
+    n_docs = hashes.count()
+    fps = docs.map_batches(winnow_rows_batch, batch_format="pyarrow",
+                           batch_size=256).materialize()
+
+    distributed = mode == "distributed" or (
+        mode == "auto" and n_docs > CLUSTER_SMALL_LIMIT
+    )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("cluster_id")["doc_id"].transform("size")
+        df = df.assign(cluster_size=sizes.astype("int64"),
+                       keep=(df["doc_id"] == df["cluster_id"]))
+        return (
+            df[["doc_id", "cluster_id", "cluster_size", "keep"]]
+            .astype({"doc_id": "int64", "cluster_id": "int64",
+                     "cluster_size": "int64", "keep": "bool"})
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    if not distributed:
+        ids = hashes.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
+        pairs = dedup_winnow_pairs(sf_dir, max_fp_freq, min_shared,
+                                   mode="driver")
+        hdf = hashes.to_pandas()
+        root_of_h = hdf.groupby("h")["doc_id"].transform("min")
+        star = hdf[root_of_h < hdf["doc_id"]]
+        edges = list(zip(star["doc_id"], root_of_h[star.index])) + list(
+            zip(pairs["doc_a"], pairs["doc_b"])
+        )
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in edges:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        df = pd.DataFrame({"doc_id": ids})
+        df["cluster_id"] = [find(int(i)) for i in ids]
+        return _finish(df)
+
+    # ---- distributed tail: min-label propagation ----
+    n_part = max(4, min(1024, n_docs // 250_000 + 1))
+    roots = hashes.groupby("h").aggregate(Min("doc_id", alias_name="root"))
+    exact_edges = (
+        hashes.join(roots, join_type="inner", num_partitions=n_part,
+                    on=("h",))
+        .filter(expr="root < doc_id")
+        .map_batches(
+            lambda t: pa.table({"a": t["doc_id"], "b": t["root"]}),
+            batch_format="pyarrow",
+        )
+    )
+    wp = _winnow_pairs_ds(fps, max_fp_freq, min_shared)
+    edges = exact_edges
+    if wp is not None:
+        edges = edges.union(
+            wp.map_batches(
+                lambda t: pa.table({"a": t["doc_a"], "b": t["doc_b"]}),
+                batch_format="pyarrow",
+            )
+        )
+    bidir = (
+        edges.map_batches(
+            lambda t: pa.table({"src": t["a"], "dst": t["b"]}),
+            batch_format="pyarrow",
+        )
+        .union(edges.map_batches(
+            lambda t: pa.table({"src": t["b"], "dst": t["a"]}),
+            batch_format="pyarrow",
+        ))
+        .materialize()
+    )
+    labels = hashes.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "label": t["doc_id"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    if bidir.count() > 0:
+        prev = labels.sum("label")
+        for _ in range(_CLUSTER_MAX_ITERS):
+            msg = (
+                bidir.join(
+                    labels.rename_columns({"doc_id": "src"}),
+                    join_type="inner", num_partitions=n_part, on=("src",),
+                )
+                .map_batches(
+                    lambda t: pa.table(
+                        {"doc_id": t["dst"], "label": t["label"]}
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            labels = (
+                labels.union(msg)
+                .groupby("doc_id")
+                .aggregate(Min("label", alias_name="label"))
+                .materialize()
+            )
+            cur = labels.sum("label")
+            if cur == prev:  # labels only decrease ⇒ fixpoint reached
+                break
+            prev = cur
+    sizes = labels.groupby("label").aggregate(
+        Count(alias_name="cluster_size")
+    )
+    out = (
+        labels.join(sizes, join_type="inner", num_partitions=n_part,
+                    on=("label",))
+        .rename_columns({"label": "cluster_id"})
         .to_pandas()
     )
-    if not len(pairs):
-        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    out["keep"] = out["doc_id"] == out["cluster_id"]
     return (
-        pairs[list(out_cols)].astype(out_cols)
-        .sort_values(["doc_a", "doc_b"])
+        out[["doc_id", "cluster_id", "cluster_size", "keep"]]
+        .astype({"doc_id": "int64", "cluster_id": "int64",
+                 "cluster_size": "int64", "keep": "bool"})
+        .sort_values("doc_id")
         .reset_index(drop=True)
     )

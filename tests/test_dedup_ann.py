@@ -202,6 +202,74 @@ def test_winnow_pairs_distributed_mode_matches_driver_mode(planted_dir):
     assert (0, 40) in set(zip(dst["doc_a"], dst["doc_b"]))
 
 
+@pytest.fixture(scope="module")
+def clusters_dir(tmp_path_factory):
+    """Planted fixture for connected-components: a LARGE vocabulary so
+    winnow fingerprints are essentially unique per base doc (planted_dir's
+    10-word vocab makes every doc pair share n-grams, which is correct
+    winnow behavior but collapses everything into one component)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("clusters")
+    rng = np.random.RandomState(7)
+    words = [f"tok{i:04d}" for i in range(2000)]
+    texts = [" ".join(rng.choice(words, 60)) for _ in range(40)]
+    # exact duplicates: 40,41 copy 0; 42 copies 1
+    texts += [texts[0], texts[0], texts[1]]
+    # near duplicates: 43 = doc 2 one word changed; 44 = doc 3 two changed
+    t = texts[2].split(); t[5] = "omega"; texts.append(" ".join(t))
+    t = texts[3].split(); t[0] = "omega"; t[30] = "psi"; texts.append(" ".join(t))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["src"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_clusters_planted(clusters_dir):
+    """Exact copies + near-dups must land in ONE component with the min
+    doc_id as cluster id; untouched docs stay singletons."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        dedup_clusters,
+    )
+
+    # min_shared=20: planted copies share ~50 fps, unrelated docs on this
+    # synthetic token alphabet collide on ≤5 char-n-gram fingerprints
+    out = dedup_clusters(clusters_dir, min_shared=20)
+    assert len(out) == 45
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    # docs 0,40,41 exact copies; 2,43 and 3,44 near-dups; 1,42 exact copies
+    assert cl[40] == cl[41] == cl[0] == 0
+    assert cl[42] == cl[1] == 1
+    assert cl[43] == cl[2] == 2 and cl[44] == cl[3] == 3
+    sz = dict(zip(out["doc_id"], out["cluster_size"]))
+    assert sz[0] == 3 and sz[1] == 2 and sz[2] == 2
+    keep = dict(zip(out["doc_id"], out["keep"]))
+    assert keep[0] and not keep[40] and not keep[41]
+    # survivors = one per cluster
+    assert out["keep"].sum() == out["cluster_id"].nunique()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_clusters_distributed_mode_matches_driver_mode(clusters_dir):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        dedup_clusters,
+    )
+
+    drv = dedup_clusters(clusters_dir, min_shared=20, mode="driver")
+    dst = dedup_clusters(clusters_dir, min_shared=20, mode="distributed")
+    pd.testing.assert_frame_equal(drv, dst)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_embedding_cosine_finds_planted(planted_dir):
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
