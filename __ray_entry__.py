@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": text.lang_distribution,
         "repetition_scores": text.repetition_scores,
         "top_ngrams": text.top_ngrams,
+        "corpus_curation": text.corpus_curation,
     }
 
 

@@ -42,6 +42,12 @@ _WINNOW_K = 8
 _WINNOW_W = 16
 _WINNOW_PAIR_MAX_FREQ = 20   # dedup_winnow_pairs boilerplate-fp cap
 _WINNOW_PAIR_MIN_SHARED = 3  # dedup_winnow_pairs pair threshold
+# corpus_curation gates (pipelines/text.py defines the same values)
+_CURATION_MIN_TOKENS = 20
+_CURATION_TOK_LEN_MIN_C = 380
+_CURATION_TOK_LEN_MAX_C = 520
+_CURATION_MAX_TOP_WORD_BP = 2000
+_CURATION_LANGS = "('de','en','es','fr')"
 
 ORACLE_VERSION = "v1"  # bump to invalidate minted caches
 
@@ -330,5 +336,46 @@ SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
        (cl.doc_id = cl.cluster_id) AS keep
 FROM cl JOIN sz USING (cluster_id)
 ORDER BY cl.doc_id
+""",
+        # curation gates recomputed relationally over documents + the SAME
+        # minted lang-oracle parquet the lang_id hash pins — independent of
+        # the engine's fused-signal kernel and Dataset join
+        "corpus_curation": rf"""
+WITH docs AS (SELECT * FROM read_parquet('{sf_dir}/documents.parquet')),
+sig AS (
+  SELECT doc_id, md5(text) AS h,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) * 100
+           // greatest(CAST(length(regexp_extract_all(text, '\S+'))
+                            AS BIGINT), 1) AS mean_tok_len_c
+  FROM docs),
+wc AS (SELECT doc_id, w, count(*) AS c
+       FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+             FROM docs)
+       GROUP BY doc_id, w),
+topw AS (SELECT doc_id, max(c) AS top FROM wc GROUP BY doc_id),
+pred AS (SELECT doc_id, lang_pred
+         FROM read_parquet('{d}/oracle_lang_id.parquet')),
+win AS (SELECT h, min(doc_id) AS keeper FROM sig GROUP BY h),
+f AS (SELECT sig.doc_id, sig.n_tokens, sig.mean_tok_len_c,
+             CAST(coalesce(topw.top, 0) * 10000
+                  // greatest(sig.n_tokens, 1) AS BIGINT)
+               AS top_word_frac_bp,
+             pred.lang_pred, win.keeper
+      FROM sig LEFT JOIN topw USING (doc_id)
+               JOIN pred USING (doc_id) JOIN win USING (h)),
+r AS (SELECT *,
+        CASE WHEN n_tokens < {_CURATION_MIN_TOKENS} THEN 'too_short'
+             WHEN mean_tok_len_c NOT BETWEEN {_CURATION_TOK_LEN_MIN_C}
+                  AND {_CURATION_TOK_LEN_MAX_C} THEN 'token_length'
+             WHEN top_word_frac_bp > {_CURATION_MAX_TOP_WORD_BP}
+                  THEN 'repetitive'
+             WHEN lang_pred NOT IN {_CURATION_LANGS} THEN 'language'
+             WHEN doc_id <> keeper THEN 'duplicate'
+             ELSE 'kept' END AS reason
+      FROM f)
+SELECT doc_id, n_tokens, mean_tok_len_c, top_word_frac_bp, lang_pred,
+       reason, (reason = 'kept') AS keep
+FROM r ORDER BY doc_id
 """,
     }

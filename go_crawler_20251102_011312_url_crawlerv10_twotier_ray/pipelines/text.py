@@ -204,9 +204,10 @@ class LangId:
             for lang in self.langs
         }
 
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def predict(self, s: pd.Series):
+        """(lang_pred object array, hit_permille int64 array) for a text
+        Series — shared by lang_id and corpus_curation."""
         np = self.np
-        s = pd.Series(t["text"].to_pylist())
         n_words = s.str.count(self.word).to_numpy()
         hits = np.stack(
             [s.str.count(self.pats[lang]).to_numpy() for lang in self.langs]
@@ -220,6 +221,10 @@ class LangId:
         scores = np.where(
             und, 0, best_hits * 1000 // np.maximum(n_words, 1)
         ).astype(np.int64)
+        return preds, scores
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds, scores = self.predict(pd.Series(t["text"].to_pylist()))
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -413,3 +418,125 @@ LANG_DIST_SQL = """
 SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus curation (the end-to-end keep/reject decision a training-data
+# pipeline runs: quality -> repetition -> language -> exact-dup gates;
+# deterministic, SQL-checked via documents + the minted lang oracle)
+# ---------------------------------------------------------------------------
+
+CURATION_MIN_TOKENS = 20       # reject shorter docs ('too_short')
+CURATION_TOK_LEN_MIN_C = 380   # mean token length x100 bounds
+CURATION_TOK_LEN_MAX_C = 520   #   ('token_length')
+CURATION_MAX_TOP_WORD_BP = 2000  # Gopher-style top-word cap ('repetitive')
+CURATION_LANGS = ("de", "en", "es", "fr")  # keep-list ('language')
+
+
+class _CurationSignals:
+    """Fused per-batch signal extractor: ONE read of the text column yields
+    token/length stats, top-word fraction, predicted language, and the md5
+    exact-dup key. Stateful stage — lang patterns compile once per actor."""
+
+    def __init__(self):
+        self.langid = LangId()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = pd.Series(t["text"].to_pylist(), dtype=object)
+        n_tokens = s.str.count(r"\S+").astype("int64")
+        n_nonspace = s.str.count(r"\S").astype("int64")
+        mean_tok_len_c = (
+            (n_nonspace * 100) // n_tokens.clip(lower=1)
+        ).astype("int64")
+        ex = s.str.split().explode().dropna()
+        top = (
+            pd.DataFrame({"i": ex.index, "w": ex.values})
+            .groupby(["i", "w"], sort=False).size()
+            .groupby(level=0).max()
+            .reindex(pd.RangeIndex(len(s)), fill_value=0)
+        )
+        top_bp = (
+            top.to_numpy().astype(np.int64) * 10000
+            // np.maximum(n_tokens.to_numpy(), 1)
+        )
+        preds, _ = self.langid.predict(s)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h": pa.array(
+                    [hashlib.md5(x.encode()).hexdigest() for x in s],
+                    pa.string(),
+                ),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "mean_tok_len_c": pa.array(mean_tok_len_c, pa.int64()),
+                "top_word_frac_bp": pa.array(top_bp, pa.int64()),
+                "lang_pred": pa.array(preds.tolist(), pa.string()),
+            }
+        )
+
+
+def corpus_curation(sf_dir: str) -> pd.DataFrame:
+    """Per-doc keep/reject with the FIRST failing gate as the reason:
+    too_short -> token_length -> repetitive -> language -> duplicate ->
+    kept. Signals come from one fused map_batches pass (texts read once,
+    never shuffled); the exact-dup winner is a 16 B/row md5 groupby-min
+    joined back on the hash — the same shuffle shape as dedup_exact."""
+    from ray.data.aggregate import Min
+
+    sig = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_CurationSignals, batch_format="pyarrow", concurrency=2)
+        .materialize()
+    )
+    n_part = max(2, min(1024, sig.count() // 250_000 + 1))
+    winners = (
+        sig.select_columns(["h", "doc_id"])
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="keeper"))
+    )
+
+    def decide(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n_tokens = t["n_tokens"].to_numpy(zero_copy_only=False)
+        mlen = t["mean_tok_len_c"].to_numpy(zero_copy_only=False)
+        top_bp = t["top_word_frac_bp"].to_numpy(zero_copy_only=False)
+        lang = np.asarray(t["lang_pred"].to_pylist(), dtype=object)
+        doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+        keeper = t["keeper"].to_numpy(zero_copy_only=False)
+        reason = np.select(
+            [
+                n_tokens < CURATION_MIN_TOKENS,
+                (mlen < CURATION_TOK_LEN_MIN_C)
+                | (mlen > CURATION_TOK_LEN_MAX_C),
+                top_bp > CURATION_MAX_TOP_WORD_BP,
+                ~np.isin(lang, CURATION_LANGS),
+                doc_id != keeper,
+            ],
+            ["too_short", "token_length", "repetitive", "language",
+             "duplicate"],
+            default="kept",
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "mean_tok_len_c": t["mean_tok_len_c"],
+                "top_word_frac_bp": t["top_word_frac_bp"],
+                "lang_pred": t["lang_pred"],
+                "reason": pa.array(reason.tolist(), pa.string()),
+                "keep": pa.array((reason == "kept").tolist(), pa.bool_()),
+            }
+        )
+
+    out = (
+        sig.join(winners, join_type="inner", num_partitions=n_part,
+                 on=("h",))
+        .map_batches(decide, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
