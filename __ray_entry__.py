@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": text.repetition_scores,
         "top_ngrams": text.top_ngrams,
         "corpus_curation": text.corpus_curation,
+        "corpus_sample_stratified": text.corpus_sample_stratified,
     }
 
 
@@ -149,4 +150,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": text.LANG_DIST_SQL,
         "repetition_scores": text.REPETITION_SQL,
         "top_ngrams": text.TOP_NGRAMS_SQL,
+        "corpus_sample_stratified": text.SAMPLE_SQL,
     }

@@ -540,3 +540,69 @@ def corpus_curation(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (training-mix construction: per-lang
+# permille rates via hash-mod buckets — reproducible across runs/engines,
+# shuffle-free, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES_PERMILLE = {"en": 500, "de": 250, "fr": 250, "es": 250}
+SAMPLE_DEFAULT_PERMILLE = 100
+
+
+def corpus_sample_stratified(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sample of the documents table: doc_id is
+    hashed (md5, first 8 hex digits) into a 0-999 bucket and kept when the
+    bucket is below its language's permille rate. No randomness, no
+    shuffle, no coordination — every worker decides per row, so the same
+    sample falls out at any scale or partitioning (the property a 100 TB
+    training-mix job needs for resumability and auditability)."""
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        bucket = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+             for i in ids),
+            dtype=np.int64, count=len(ids),
+        )
+        rate = (
+            pd.Series(t["lang"].to_pylist())
+            .map(SAMPLE_RATES_PERMILLE)
+            .fillna(SAMPLE_DEFAULT_PERMILLE)
+            .to_numpy(np.int64)
+        )
+        keep = bucket < rate
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "lang": t["lang"].filter(pa.array(keep)),
+                "bucket": pa.array(bucket[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(sample, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SAMPLE_SQL = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000 AS bucket
+  FROM documents)
+SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
+                         WHEN 'fr' THEN 250 WHEN 'es' THEN 250
+                         ELSE 100 END
+ORDER BY doc_id
+"""
