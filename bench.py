@@ -15,6 +15,14 @@ inflated every all-to-all query 3-8x; the per-section numbers were not
 measuring the engine. The ``--scaling`` harness already used this
 subprocess pattern; now the default run does too.
 
+BEST-OF-2 (round-3 fix): single-run timings of the steady-epoch and
+all-to-all sections swing up to ±80% run-to-run on this box (page-cache /
+plasma state — a bisect "found" a 13 s regression in a commit that did
+not touch the measured code path). Every timed pipeline now runs twice
+and reports the min, the same policy ``--steady`` always used; the
+queries section additionally runs an untimed worker-pool warm-up so the
+first query doesn't absorb pool spawn (~4 s at 32 CPUs).
+
 ``--scaling``: runs the same steady job twice in FRESH processes at 2 and
 8 CPUs on the same input (the in-sandbox evidence for the north rule's
 N→4N cluster-scaling criterion) and prints one JSON line with both
@@ -144,19 +152,26 @@ def section_crawl() -> dict:
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    t0 = time.perf_counter()
-    n_pages = (
-        read_pages(corpus_dir, columns=["url", "html"])
-        .map_batches(RouteAndExtract(CrawlConfig()), batch_format="pyarrow",
-                     batch_size=128)
-        .count()
-    )
-    queries["extract"] = round(time.perf_counter() - t0, 3)
+    # best-of-2 per pipeline (single-run noise policy, see _section_steady)
+    ex_trials = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_pages = (
+            read_pages(corpus_dir, columns=["url", "html"])
+            .map_batches(RouteAndExtract(CrawlConfig()),
+                         batch_format="pyarrow", batch_size=128)
+            .count()
+        )
+        ex_trials.append(round(time.perf_counter() - t0, 3))
+    queries["extract"] = min(ex_trials)
     extra["extract_pages_per_sec"] = round(n_pages / queries["extract"], 1)
 
-    t0 = time.perf_counter()
-    res = run_crawl(corpus_dir, CrawlConfig())
-    queries["crawl"] = round(time.perf_counter() - t0, 3)
+    crawl_trials = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = run_crawl(corpus_dir, CrawlConfig())
+        crawl_trials.append(round(time.perf_counter() - t0, 3))
+    queries["crawl"] = min(crawl_trials)
     n_urls = res.order.num_rows  # URLs scheduled+fetched through the frontier
     extra["crawl_urls_per_sec"] = round(n_urls / queries["crawl"], 1)
     extra["crawl_pages_fetched"] = res.pages_fetched
@@ -188,17 +203,24 @@ def _section_steady(fetch_mode: str) -> dict:
     _warm_workers(corpus_dir)
     all_urls = pq.read_table(pages_dir, columns=["url"])["url"].to_pylist()
 
-    t0 = time.perf_counter()
-    res = run_crawl(corpus_dir, CrawlConfig(record_order=False,
-                                            fetch_mode=fetch_mode),
-                    seeds=all_urls, max_epochs=1, collect=False)
-    sec = round(time.perf_counter() - t0, 3)
+    # best-of-2: single-run timings of the all-to-all steady epoch swing
+    # ±80% on this box (page-cache/plasma state); min is the honest
+    # achievable-time estimate (the same policy run_steady already uses)
+    trials = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = run_crawl(corpus_dir, CrawlConfig(record_order=False,
+                                                fetch_mode=fetch_mode),
+                        seeds=all_urls, max_epochs=1, collect=False)
+        trials.append(round(time.perf_counter() - t0, 3))
+    sec = min(trials)
     name = f"crawl_{fetch_mode}_steady"
     out = {
         "queries": {name: sec},
         f"crawl_{fetch_mode}_urls_per_sec": round(
             res.counters["scheduled_total"] / sec, 1
         ),
+        f"crawl_{fetch_mode}_trials": trials,
     }
     ray.shutdown()
     return out
@@ -236,12 +258,17 @@ def section_ckpt_steady() -> dict:
                   seeds=all_urls, max_epochs=1, collect=False)
         return round(time.perf_counter() - t0, 3)
 
-    plain = one(None)
-    ck = tempfile.mkdtemp(prefix="graft_ckpt_bench_")
-    try:
-        with_ck = one(ck)
-    finally:
-        shutil.rmtree(ck, ignore_errors=True)
+    # best-of-2 per leg: the overhead delta is smaller than single-run
+    # noise on this box, so each leg gets the min of two trials
+    plain = min(one(None) for _ in range(2))
+    ck_trials = []
+    for _ in range(2):
+        ck = tempfile.mkdtemp(prefix="graft_ckpt_bench_")
+        try:
+            ck_trials.append(one(ck))
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+    with_ck = min(ck_trials)
     out = {
         "queries": {"crawl_ckpt_steady": with_ck},
         "ckpt_plain_sec": plain,
@@ -259,6 +286,14 @@ def section_queries() -> dict:
         ann, dedup, relational, text,
     )
 
+    # untimed warm-up: spawn the worker pool + import the pipeline modules
+    # in every worker so the FIRST timed query doesn't absorb pool startup
+    # (q1 measured 6.4 s cold vs ~2 s warm at 32 CPUs)
+    import ray.data as rd
+    rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                    columns=["l_orderkey"]).map_batches(
+        lambda t: t, batch_format="pyarrow").count()
+
     queries: dict[str, float] = {}
     for name, fn in [
         ("q1_pricing_summary", relational.q1_pricing_summary),
@@ -271,10 +306,16 @@ def section_queries() -> dict:
         ("ann_bruteforce_topk", ann.ann_bruteforce_topk),
         ("token_counts", text.token_counts),
         ("quality_scores", text.quality_scores),
+        ("corpus_curation", text.corpus_curation),
     ]:
-        t0 = time.perf_counter()
-        fn(SF_DIR)
-        queries[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: all-to-all query timings swing with page-cache/plasma
+        # state; min is the achievable-time estimate
+        trials = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(SF_DIR)
+            trials.append(round(time.perf_counter() - t0, 3))
+        queries[name] = min(trials)
     out = {"queries": queries}
     ray.shutdown()
     return out
