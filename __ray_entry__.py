@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": text.top_ngrams,
         "corpus_curation": text.corpus_curation,
         "corpus_sample_stratified": text.corpus_sample_stratified,
+        "tfidf_top_terms": text.tfidf_top_terms,
     }
 
 
@@ -151,4 +152,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": text.REPETITION_SQL,
         "top_ngrams": text.TOP_NGRAMS_SQL,
         "corpus_sample_stratified": text.SAMPLE_SQL,
+        "tfidf_top_terms": text.TFIDF_SQL,
     }

@@ -606,3 +606,139 @@ WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
                          ELSE 100 END
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (corpus statistics + per-doc ranking:
+# distributed document-frequency table, term join, co-partitioned
+# vectorized top-k — integer-scaled so DuckDB agrees bit-exactly)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+TFIDF_SCALE = 10_000
+TFIDF_ROWS_PER_PARTITION = 250_000
+
+
+def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Top-k terms per document by integer-scaled tf-idf
+    (tf * SCALE * n_docs // (doc_freq * n_tok) — exact in both engines;
+    no floating-point log, which is not bit-stable across libms).
+
+    Scale shape: one exploded (doc_id, term, tf, n_tok) pass (each doc
+    lives in exactly ONE input batch, so per-doc term counts are exact
+    per batch); document frequencies via per-batch partial counts → ONE
+    small groupby-sum over terms; a hash join on term sized by row count;
+    then the co-partition-by-doc_id pattern (bounded partition count, one
+    vectorized sort + groupby-head per partition — never one Python call
+    per doc)."""
+    from ray.data.aggregate import Sum
+
+    import numpy as np
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist(), dtype=object)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        words = s.str.split()
+        n_tok = words.str.len().fillna(0).astype("int64").to_numpy()
+        ex = words.explode().dropna()
+        tf = (
+            pd.DataFrame({"i": ex.index, "term": ex.values})
+            .groupby(["i", "term"], sort=False).size().reset_index(name="tf")
+        )
+        pos = tf["i"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[pos], pa.int64()),
+                "term": pa.array(tf["term"].astype(str), pa.string()),
+                "tf": pa.array(tf["tf"].to_numpy(np.int64), pa.int64()),
+                "n_tok": pa.array(n_tok[pos], pa.int64()),
+            }
+        )
+
+    tf_ds = ds.map_batches(explode_tf, batch_format="pyarrow").materialize()
+    n_rows = tf_ds.count()
+    n_part = max(4, min(1024, n_rows // TFIDF_ROWS_PER_PARTITION + 1))
+
+    # doc_freq: tf_ds has ONE row per (doc, term) → partial per-batch term
+    # counts shrink the shuffle to (term, pdf) before the global sum
+    df_ds = (
+        tf_ds.map_batches(
+            lambda t: pa.Table.from_pandas(
+                pd.DataFrame({"term": t["term"].to_pandas()})
+                .groupby("term", sort=False).size().reset_index(name="pdf")
+                .astype({"pdf": "int64"}),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .aggregate(Sum("pdf", alias_name="doc_freq"))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        dfq = t["doc_freq"].to_numpy(zero_copy_only=False)
+        ntk = t["n_tok"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        tfidf = tf * TFIDF_SCALE * n_docs // (dfq * ntk)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "term": t["term"],
+                "tf": t["tf"],
+                "doc_freq": pa.array(dfq.astype(np.int64), pa.int64()),
+                "tfidf_c": pa.array(tfidf.astype(np.int64), pa.int64()),
+                "part": pa.array((did % n_part).astype(np.int64)),
+            }
+        )
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "tfidf_c", "term"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        g = g.groupby("doc_id", sort=False).head(TFIDF_TOP_K)
+        return g[["doc_id", "term", "tf", "doc_freq", "tfidf_c"]].astype(
+            {"doc_id": "int64", "tf": "int64", "doc_freq": "int64",
+             "tfidf_c": "int64"}
+        )
+
+    return (
+        tf_ds.join(df_ds, join_type="inner", num_partitions=n_part,
+                   on=("term",))
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk_part, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["doc_id", "tfidf_c", "term"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
+TFIDF_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+ntok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+         FROM tok GROUP BY doc_id),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+          FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+             tf.tf * {TFIDF_SCALE} * n.n
+               // (dfreq.doc_freq * ntok.n_tok) AS tfidf_c
+      FROM tf JOIN dfreq USING (term) JOIN ntok USING (doc_id)
+              CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_c DESC, term) AS rn
+      FROM s)
+SELECT doc_id, term, tf, doc_freq, tfidf_c
+FROM r WHERE rn <= {TFIDF_TOP_K}
+ORDER BY doc_id, tfidf_c DESC, term
+"""
