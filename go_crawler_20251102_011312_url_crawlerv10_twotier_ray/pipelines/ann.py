@@ -49,8 +49,10 @@ def _emb_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, m.astype(np.float64)
 
 def _emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
+    from ._schema import read_parquet_bounded
+
+    return read_parquet_bounded(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:

@@ -27,7 +27,10 @@ from ray.data.aggregate import Min, Sum
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from ._schema import read_parquet_bounded
+
+    return read_parquet_bounded(f"{sf_dir}/documents.parquet",
+                                columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -865,13 +868,17 @@ def dedup_winnow_pairs(
 
     from .text import winnow_rows_batch
 
+    from ._schema import heal_blocks
+
     out_cols = {"doc_a": "int64", "doc_b": "int64", "shared_fps": "int64"}
-    fps = (
+    fps = heal_blocks(
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(winnow_rows_batch, batch_format="pyarrow",
                      batch_size=256)
-        .materialize()
     )
+    if fps is None:
+        return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
+    fps = fps.materialize()
 
     distributed = mode == "distributed" or (
         mode == "auto" and fps.count() > _WINNOW_SMALL_LIMIT
@@ -998,11 +1005,23 @@ def dedup_clusters(
 
     from .text import winnow_rows_batch
 
+    from ._schema import heal_blocks
+
     docs = _docs(sf_dir, ["doc_id", "text"])
-    hashes = docs.map_batches(_md5_rows, batch_format="pyarrow").materialize()
+    # heal: empty read splits produce schema-less blocks that poison the
+    # hashes⋈roots and fps self-joins below (pipelines/_schema.py)
+    hashes = heal_blocks(docs.map_batches(_md5_rows,
+                                          batch_format="pyarrow"))
+    if hashes is None:
+        # empty corpus: an all-empty materialized Dataset loses its schema
+        # (zero-column blocks crash joins) — return the typed frame early
+        return pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in
+             [("doc_id", "int64"), ("cluster_id", "int64"),
+              ("cluster_size", "int64"), ("keep", "bool")]}
+        )
+    hashes = hashes.materialize()
     n_docs = hashes.count()
-    fps = docs.map_batches(winnow_rows_batch, batch_format="pyarrow",
-                           batch_size=256).materialize()
 
     distributed = mode == "distributed" or (
         mode == "auto" and n_docs > CLUSTER_SMALL_LIMIT
@@ -1049,8 +1068,17 @@ def dedup_clusters(
         return _finish(df)
 
     # ---- distributed tail: min-label propagation ----
+    # (the driver tail gets its pairs from dedup_winnow_pairs, which
+    # builds its own healed fps — only the distributed tail needs them)
+    fps = heal_blocks(docs.map_batches(winnow_rows_batch,
+                                       batch_format="pyarrow",
+                                       batch_size=256))
+    fps = fps.materialize() if fps is not None else None
     n_part = max(4, min(1024, n_docs // 250_000 + 1))
-    roots = hashes.groupby("h").aggregate(Min("doc_id", alias_name="root"))
+    roots = heal_blocks(
+        hashes.groupby("h").aggregate(Min("doc_id", alias_name="root")),
+        target_blocks=n_part,
+    )
     exact_edges = (
         hashes.join(roots, join_type="inner", num_partitions=n_part,
                     on=("h",))
@@ -1060,7 +1088,8 @@ def dedup_clusters(
             batch_format="pyarrow",
         )
     )
-    wp = _winnow_pairs_ds(fps, max_fp_freq, min_shared)
+    wp = (_winnow_pairs_ds(fps, max_fp_freq, min_shared)
+          if fps is not None else None)
     edges = exact_edges
     if wp is not None:
         edges = edges.union(
@@ -1099,18 +1128,19 @@ def dedup_clusters(
                     batch_format="pyarrow",
                 )
             )
-            labels = (
+            labels = heal_blocks(
                 labels.union(msg)
                 .groupby("doc_id")
-                .aggregate(Min("label", alias_name="label"))
-                .materialize()
-            )
+                .aggregate(Min("label", alias_name="label")),
+                target_blocks=n_part,
+            ).materialize()
             cur = labels.sum("label")
             if cur == prev:  # labels only decrease ⇒ fixpoint reached
                 break
             prev = cur
-    sizes = labels.groupby("label").aggregate(
-        Count(alias_name="cluster_size")
+    sizes = heal_blocks(
+        labels.groupby("label").aggregate(Count(alias_name="cluster_size")),
+        target_blocks=n_part,
     )
     out = (
         labels.join(sizes, join_type="inner", num_partitions=n_part,

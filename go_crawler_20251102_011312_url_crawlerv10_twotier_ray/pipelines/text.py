@@ -14,7 +14,17 @@ import ray.data as rd
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from ._schema import read_parquet_bounded
+
+    return read_parquet_bounded(f"{sf_dir}/documents.parquet",
+                                columns=columns)
+
+
+def _empty_typed(cols: dict[str, str]) -> pd.DataFrame:
+    """Typed empty result frame: an all-empty materialized Dataset loses
+    its schema (zero-column blocks), so empty-corpus paths return early
+    with the declared dtypes instead of relying on downstream inference."""
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
 
 
 # ---------------------------------------------------------------------------
@@ -485,16 +495,28 @@ def corpus_curation(sf_dir: str) -> pd.DataFrame:
     joined back on the hash — the same shuffle shape as dedup_exact."""
     from ray.data.aggregate import Min
 
-    sig = (
+    from ._schema import heal_blocks
+
+    # heal: empty read splits leave schema-less blocks that poison the
+    # sig⋈winners join below (pipelines/_schema.py)
+    sig = heal_blocks(
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(_CurationSignals, batch_format="pyarrow", concurrency=2)
-        .materialize()
     )
-    n_part = max(2, min(1024, sig.count() // 250_000 + 1))
-    winners = (
+    if sig is None:
+        return _empty_typed(
+            {"doc_id": "int64", "n_tokens": "int64",
+             "mean_tok_len_c": "int64", "top_word_frac_bp": "int64",
+             "lang_pred": "object", "reason": "object", "keep": "bool"})
+    sig = sig.materialize()  # consumed twice: winners pass + join
+    n_sig = sig.count()
+    n_part = max(2, min(1024, n_sig // 250_000 + 1))
+
+    winners = heal_blocks(
         sig.select_columns(["h", "doc_id"])
         .groupby("h")
-        .aggregate(Min("doc_id", alias_name="keeper"))
+        .aggregate(Min("doc_id", alias_name="keeper")),
+        target_blocks=n_part,
     )
 
     def decide(t: pa.Table) -> pa.Table:
@@ -560,6 +582,9 @@ def corpus_sample_stratified(sf_dir: str) -> pd.DataFrame:
     sample falls out at any scale or partitioning (the property a 100 TB
     training-mix job needs for resumability and auditability)."""
     ds = _docs(sf_dir, ["doc_id", "lang"])
+    if ds.count() == 0:
+        return _empty_typed(
+            {"doc_id": "int64", "lang": "object", "bucket": "int64"})
 
     def sample(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -658,25 +683,46 @@ def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    tf_ds = ds.map_batches(explode_tf, batch_format="pyarrow").materialize()
+    from ._schema import heal_blocks
+
+    out_cols = {"doc_id": "int64", "term": "object", "tf": "int64",
+                "doc_freq": "int64", "tfidf_c": "int64"}
+    # heal: empty read splits / empty-text docs leave zero-row (sometimes
+    # schema-less) blocks that poison the join below (pipelines/_schema.py)
+    tf_ds = heal_blocks(ds.map_batches(explode_tf, batch_format="pyarrow"))
+    if n_docs == 0 or tf_ds is None:
+        return _empty_typed(out_cols)
+    tf_ds = tf_ds.materialize()  # consumed twice: doc_freq pass + join
     n_rows = tf_ds.count()
     n_part = max(4, min(1024, n_rows // TFIDF_ROWS_PER_PARTITION + 1))
 
-    # doc_freq: tf_ds has ONE row per (doc, term) → partial per-batch term
-    # counts shrink the shuffle to (term, pdf) before the global sum
-    df_ds = (
-        tf_ds.map_batches(
-            lambda t: pa.Table.from_pandas(
-                pd.DataFrame({"term": t["term"].to_pandas()})
-                .groupby("term", sort=False).size().reset_index(name="pdf")
-                .astype({"pdf": "int64"}),
-                preserve_index=False,
-            ),
-            batch_format="pyarrow",
+    def partial_df(t: pa.Table) -> pa.Table:
+        # explicit Arrow types: an EMPTY pandas object column round-trips
+        # through from_pandas as Arrow null type, which crashes the hash
+        # shuffle aggregator on schema mismatch
+        g = (
+            pd.DataFrame({"term": t["term"].to_pandas()})
+            .groupby("term", sort=False).size().reset_index(name="pdf")
         )
+        return pa.table(
+            {"term": pa.array(g["term"].astype(str), pa.string()),
+             "pdf": pa.array(g["pdf"].to_numpy(np.int64), pa.int64())}
+        )
+
+    # doc_freq: tf_ds has ONE row per (doc, term) → partial per-batch term
+    # counts shrink the shuffle to (term, pdf) before the global sum.
+    # heal_blocks: the aggregate emits zero-column blocks for empty hash
+    # partitions, which poison the downstream join (pipelines/_schema.py)
+    from ._schema import heal_blocks
+
+    df_ds = heal_blocks(
+        tf_ds.map_batches(partial_df, batch_format="pyarrow")
         .groupby("term")
-        .aggregate(Sum("pdf", alias_name="doc_freq"))
+        .aggregate(Sum("pdf", alias_name="doc_freq")),
+        target_blocks=n_part,
     )
+    if df_ds is None:
+        return _empty_typed(out_cols)
 
     def score(t: pa.Table) -> pa.Table:
         tf = t["tf"].to_numpy(zero_copy_only=False)

@@ -1,0 +1,100 @@
+"""Degenerate-corpus edge cases for the round-3 text/dedup operators:
+empty documents table, empty-text docs, single-doc corpus. These probe
+the known Ray pitfall where an all-empty materialized Dataset loses its
+schema (zero-column blocks crash Acero joins) and the div-by-zero
+corners of the integer-scaled kernels."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SCHEMA_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _write_docs(d, texts, langs=None):
+    langs = langs or ["en"] * len(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(["src"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    return _write_docs(tmp_path_factory.mktemp("empty"), [])
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(tmp_path_factory):
+    # empty text, whitespace-only, one token, one repeated token
+    return _write_docs(
+        tmp_path_factory.mktemp("degen"),
+        ["", "   ", "lonely", "dup dup dup dup dup"],
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("op", ["curation", "clusters", "tfidf", "sample"])
+def test_ops_on_empty_documents(empty_dir, op):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
+        dedup, text,
+    )
+
+    fn = {
+        "curation": text.corpus_curation,
+        "clusters": dedup.dedup_clusters,
+        "tfidf": text.tfidf_top_terms,
+        "sample": text.corpus_sample_stratified,
+    }[op]
+    out = fn(empty_dir)
+    assert isinstance(out, pd.DataFrame)
+    assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_degenerate_texts(degenerate_dir):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.text import (
+        corpus_curation,
+    )
+
+    out = corpus_curation(degenerate_dir)
+    assert len(out) == 4
+    reasons = dict(zip(out["doc_id"], out["reason"]))
+    # zero-token and tiny docs all fail the too_short gate first
+    assert all(r == "too_short" for r in reasons.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_degenerate_texts(degenerate_dir):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.text import (
+        tfidf_top_terms,
+    )
+
+    out = tfidf_top_terms(degenerate_dir)
+    # docs 0,1 have no tokens -> no rows; doc 2 one term; doc 3 one term
+    assert set(out["doc_id"]) == {2, 3}
+    d3 = out[out["doc_id"] == 3]
+    assert list(d3["term"]) == ["dup"] and int(d3["tf"].iloc[0]) == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clusters_degenerate_texts(degenerate_dir):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        dedup_clusters,
+    )
+
+    out = dedup_clusters(degenerate_dir)
+    assert len(out) == 4
+    # all four texts are distinct -> four singleton clusters
+    assert out["keep"].all()
+    assert (out["cluster_size"] == 1).all()
