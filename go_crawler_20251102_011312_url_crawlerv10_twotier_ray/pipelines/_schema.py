@@ -52,12 +52,21 @@ def read_parquet_bounded(path: str, columns=None, factor: int = 3,
 
 def heal_blocks(ds: rd.Dataset, target_blocks: int = 200) -> rd.Dataset | None:
     """Make every block non-empty and typed so the Dataset can safely
-    feed a join: materialize (so the plan is not re-executed by the count)
-    then repartition to ≤ row-count blocks. Returns None for an all-empty
-    Dataset — its schema is unrecoverable; callers early-return a typed
-    empty frame instead."""
+    feed a join: materialize, then repartition to ≤ row-count blocks ONLY
+    if an empty block actually exists (per-block row counts are metadata
+    on a materialized Dataset — the common healthy case pays nothing
+    beyond the materialize). Returns None for an all-empty Dataset — its
+    schema is unrecoverable; callers early-return a typed empty frame."""
     m = ds.materialize()
-    n = m.count()
+    try:
+        rows = m._block_num_rows()
+        n = sum(rows)
+        has_empty = any(r == 0 for r in rows)
+    except Exception:  # private API fallback: assume the worst
+        n = m.count()
+        has_empty = True
     if n == 0:
         return None
+    if not has_empty:
+        return m
     return m.repartition(max(1, min(target_blocks, n)))
