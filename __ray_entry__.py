@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": text.corpus_curation,
         "corpus_sample_stratified": text.corpus_sample_stratified,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "lang_length_quantiles": text.lang_length_quantiles,
     }
 
 
@@ -153,4 +154,5 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": text.TOP_NGRAMS_SQL,
         "corpus_sample_stratified": text.SAMPLE_SQL,
         "tfidf_top_terms": text.TFIDF_SQL,
+        "lang_length_quantiles": text.LANG_QUANTILES_SQL,
     }

@@ -788,3 +788,77 @@ SELECT doc_id, term, tf, doc_freq, tfidf_c
 FROM r WHERE rn <= {TFIDF_TOP_K}
 ORDER BY doc_id, tfidf_c DESC, term
 """
+
+
+# ---------------------------------------------------------------------------
+# per-group exact quantiles via distributed value histograms (the scale
+# pattern for order statistics over bounded-domain values: per-batch
+# partial counts -> one tiny (group, value) groupby-sum -> driver picks
+# the quantile from the histogram; the raw rows never sort or shuffle)
+# ---------------------------------------------------------------------------
+
+LENGTH_QUANTILES = ((1, 4, "p25"), (1, 2, "p50"), (9, 10, "p90"))
+
+
+def lang_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact p25/p50/p90 of n_chars per language. DuckDB's quantile_disc
+    picks sorted index ceil(q*n)-1; computed here as
+    (num*n + den - 1)//den - 1 — pure integer math, no float edge.
+
+    Scale shape: a 100 TB corpus has billions of rows but only ~1e5
+    distinct (lang, length) pairs, so the histogram groupby shuffles
+    almost nothing and the driver sees only the histogram."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {"lang": t["lang"].to_pylist(),
+                 "v": t["n_chars"].to_numpy(zero_copy_only=False)}
+            )
+            .groupby(["lang", "v"], sort=False).size().reset_index(name="c")
+        )
+        return pa.table(
+            {"lang": pa.array(g["lang"].astype(str), pa.string()),
+             "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+             "c": pa.array(g["c"].to_numpy(np.int64), pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # histogram only: distinct (lang, length) pairs
+    )
+    cols = {"lang": "object", "p25": "int64", "p50": "int64",
+            "p90": "int64", "n_docs": "int64"}
+    if not len(hist):
+        return _empty_typed(cols)
+    rows = []
+    for lang, g in hist.sort_values(["lang", "v"]).groupby("lang", sort=True):
+        v = g["v"].to_numpy()
+        cum = g["c"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {"lang": lang, "n_docs": n}
+        for num, den, name in LENGTH_QUANTILES:
+            idx = (num * n + den - 1) // den - 1  # ceil(q*n) - 1
+            row[name] = int(v[np.searchsorted(cum, idx + 1)])
+        rows.append(row)
+    return (
+        pd.DataFrame(rows)[list(cols)].astype(cols)
+        .sort_values("lang").reset_index(drop=True)
+    )
+
+
+LANG_QUANTILES_SQL = """
+SELECT lang,
+       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
