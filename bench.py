@@ -307,6 +307,9 @@ def section_queries() -> dict:
         ("token_counts", text.token_counts),
         ("quality_scores", text.quality_scores),
         ("corpus_curation", text.corpus_curation),
+        ("tfidf_top_terms", text.tfidf_top_terms),
+        ("dedup_clusters", dedup.dedup_clusters),
+        ("lang_length_quantiles", text.lang_length_quantiles),
     ]:
         # best-of-2: all-to-all query timings swing with page-cache/plasma
         # state; min is the achievable-time estimate

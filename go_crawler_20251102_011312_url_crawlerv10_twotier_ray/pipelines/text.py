@@ -487,12 +487,10 @@ class _CurationSignals:
         )
 
 
-def corpus_curation(sf_dir: str) -> pd.DataFrame:
-    """Per-doc keep/reject with the FIRST failing gate as the reason:
-    too_short -> token_length -> repetitive -> language -> duplicate ->
-    kept. Signals come from one fused map_batches pass (texts read once,
-    never shuffled); the exact-dup winner is a 16 B/row md5 groupby-min
-    joined back on the hash — the same shuffle shape as dedup_exact."""
+def _curation_decisions(sf_dir: str) -> rd.Dataset | None:
+    """The distributed curation pipeline up to the per-doc decision rows
+    (a Dataset — shared by corpus_curation and write_curated). None for
+    an empty corpus."""
     from ray.data.aggregate import Min
 
     from ._schema import heal_blocks
@@ -504,10 +502,7 @@ def corpus_curation(sf_dir: str) -> pd.DataFrame:
         .map_batches(_CurationSignals, batch_format="pyarrow", concurrency=2)
     )
     if sig is None:
-        return _empty_typed(
-            {"doc_id": "int64", "n_tokens": "int64",
-             "mean_tok_len_c": "int64", "top_word_frac_bp": "int64",
-             "lang_pred": "object", "reason": "object", "keep": "bool"})
+        return None
     sig = sig.materialize()  # consumed twice: winners pass + join
     n_sig = sig.count()
     n_part = max(2, min(1024, n_sig // 250_000 + 1))
@@ -553,15 +548,64 @@ def corpus_curation(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
+    return (
         sig.join(winners, join_type="inner", num_partitions=n_part,
                  on=("h",))
         .map_batches(decide, batch_format="pyarrow")
-        .to_pandas()
+    )
+
+
+CURATION_COLS = {"doc_id": "int64", "n_tokens": "int64",
+                 "mean_tok_len_c": "int64", "top_word_frac_bp": "int64",
+                 "lang_pred": "object", "reason": "object", "keep": "bool"}
+
+
+def corpus_curation(sf_dir: str) -> pd.DataFrame:
+    """Per-doc keep/reject with the FIRST failing gate as the reason:
+    too_short -> token_length -> repetitive -> language -> duplicate ->
+    kept. Signals come from one fused map_batches pass (texts read once,
+    never shuffled); the exact-dup winner is a 16 B/row md5 groupby-min
+    joined back on the hash — the same shuffle shape as dedup_exact."""
+    dec = _curation_decisions(sf_dir)
+    if dec is None:
+        return _empty_typed(CURATION_COLS)
+    return (
+        dec.to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-    return out
+
+
+def write_curated(sf_dir: str, out_dir: str) -> dict:
+    """Apply the curation gates and WRITE the kept documents as
+    lang-partitioned parquet — the resumable-output layout (one directory
+    per language; a failed run re-writes only what it owns, downstream
+    training-mix jobs read per-lang subsets without scanning the rest).
+
+    Scale shape: the (tiny, text-free) keep decisions hash-join back to
+    the full rows on doc_id — at 100 TB the keep set cannot broadcast
+    (8 B x 10^10 docs), so the join is the correct path; document rows
+    move ONCE, from the read straight to the partitioned writer."""
+    from ._schema import heal_blocks
+
+    dec = _curation_decisions(sf_dir)
+    if dec is None:
+        return {"kept": 0, "rejected": 0, "out_dir": out_dir}
+    keep_ds = heal_blocks(
+        dec.filter(expr="keep == True").select_columns(["doc_id"]))
+    n_total = _docs(sf_dir, ["doc_id"]).count()
+    if keep_ds is None:
+        return {"kept": 0, "rejected": n_total, "out_dir": out_dir}
+    n_keep = keep_ds.count()
+    n_part = max(2, min(1024, n_total // 250_000 + 1))
+    (
+        _docs(sf_dir)  # all columns — the kept docs ship whole
+        .join(keep_ds, join_type="inner", num_partitions=n_part,
+              on=("doc_id",))
+        .write_parquet(out_dir, partition_cols=["lang"])
+    )
+    return {"kept": n_keep, "rejected": n_total - n_keep,
+            "out_dir": out_dir}
 
 
 # ---------------------------------------------------------------------------

@@ -59,3 +59,20 @@ def test_curation_gate_cascade(curation_dir):
     # signal columns are int64 (dtype-sensitive driver hash)
     for c in ("n_tokens", "mean_tok_len_c", "top_word_frac_bp"):
         assert str(out[c].dtype) == "int64"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_curated_partitioned_output(curation_dir, tmp_path):
+    import pyarrow.dataset as pads
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.text import (
+        write_curated,
+    )
+
+    out = str(tmp_path / "curated")
+    res = write_curated(curation_dir, out)
+    assert res["kept"] == 1 and res["rejected"] == 5
+    got = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+    assert list(got["doc_id"]) == [0]
+    assert "text" in got.columns and "lang" in got.columns
+    assert os.path.isdir(os.path.join(out, "lang=en"))  # hive layout
