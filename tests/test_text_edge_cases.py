@@ -98,3 +98,38 @@ def test_clusters_degenerate_texts(degenerate_dir):
     # all four texts are distinct -> four singleton clusters
     assert out["keep"].all()
     assert (out["cluster_size"] == 1).all()
+
+
+def test_quantile_index_rule_matches_duckdb():
+    """The engine picks sorted index ceil(q*n)-1 (integer math) — verify
+    the rule against DuckDB's quantile_disc over many list shapes,
+    including ties and single elements."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.text import (
+        LENGTH_QUANTILES,
+    )
+
+    con = duckdb.connect()
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=50),
+                    min_size=1, max_size=40))
+    def check(vals):
+        import numpy as np
+
+        v = np.sort(np.asarray(vals, dtype=np.int64))
+        n = len(v)
+        got = {}
+        for num, den, name in LENGTH_QUANTILES:
+            idx = (num * n + den - 1) // den - 1
+            got[name] = int(v[idx])
+        want = con.execute(
+            "SELECT quantile_disc(x, 0.25), quantile_disc(x, 0.5), "
+            f"quantile_disc(x, 0.9) FROM (SELECT unnest({vals}) x)"
+        ).fetchone()
+        assert (got["p25"], got["p50"], got["p90"]) == want
+
+    check()
