@@ -44,7 +44,9 @@ def degenerate_dir(tmp_path_factory):
 
 
 @pytest.mark.usefixtures("ray_session")
-@pytest.mark.parametrize("op", ["curation", "clusters", "tfidf", "sample"])
+@pytest.mark.parametrize(
+    "op", ["curation", "clusters", "tfidf", "sample", "quantiles",
+           "winnow_pairs"])
 def test_ops_on_empty_documents(empty_dir, op):
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
         dedup, text,
@@ -55,10 +57,22 @@ def test_ops_on_empty_documents(empty_dir, op):
         "clusters": dedup.dedup_clusters,
         "tfidf": text.tfidf_top_terms,
         "sample": text.corpus_sample_stratified,
+        "quantiles": text.lang_length_quantiles,
+        "winnow_pairs": dedup.dedup_winnow_pairs,
     }[op]
     out = fn(empty_dir)
     assert isinstance(out, pd.DataFrame)
     assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_curated_on_empty_documents(empty_dir, tmp_path):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.text import (
+        write_curated,
+    )
+
+    res = write_curated(empty_dir, str(tmp_path / "out"))
+    assert res["kept"] == 0 and res["rejected"] == 0
 
 
 @pytest.mark.usefixtures("ray_session")
