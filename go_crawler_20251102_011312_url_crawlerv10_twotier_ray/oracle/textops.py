@@ -49,7 +49,7 @@ _CURATION_TOK_LEN_MAX_C = 520
 _CURATION_MAX_TOP_WORD_BP = 2000
 _CURATION_LANGS = "('de','en','es','fr')"
 
-ORACLE_VERSION = "v1"  # bump to invalidate minted caches
+ORACLE_VERSION = "v2"  # bump to invalidate minted caches (v2: + minhash)
 
 
 # ---------------------------------------------------------------------------
@@ -235,6 +235,122 @@ def expected_ngram_jaccard(
 
 
 # ---------------------------------------------------------------------------
+# MinHash+LSH pinned reference (plain-Python transcription of the hash
+# SPEC — blake2b word hashes, splitmix position constants, Mersenne
+# affine permutations, FNV band mixing — independent of the vectorized
+# engine kernels in functions/hashing.py. The banded candidate set is
+# deterministic GIVEN the spec, so the full banded+verified pair list is
+# hash-checkable, same structure as the winnowing oracle.)
+# ---------------------------------------------------------------------------
+
+_MH_N_PERM = 128
+_MH_N_BANDS = 32
+_MH_K = 3
+_MH_SEED = 12345
+_MH_JACCARD = 0.5
+_MH_BUCKET_CAP = 200   # engine skips degenerate giant buckets
+_MH_M = (1 << 31) - 1  # Mersenne modulus of the affine permutations
+_MASK64 = (1 << 64) - 1
+_MH_MIX2 = 0xC2B2AE3D27D4EB4F
+_MH_FNV = 0xCBF29CE484222325
+
+
+def _mh_pos_constants(k: int) -> list[int]:
+    out = []
+    golden = 0x9E3779B97F4A7C15
+    x = golden
+    for _ in range(k):
+        x = (x + golden) & _MASK64
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _MASK64
+        out.append(z | 1)
+    return out
+
+
+def _mh_shingles(text: str, k: int = _MH_K) -> list[int]:
+    import hashlib as _hl
+
+    words = text.split()
+    wh = [int.from_bytes(_hl.blake2b(w.encode(), digest_size=8).digest(),
+                         "little") for w in words]
+    n = len(wh)
+    if n == 0:
+        return []
+    if n < k:
+        h = _MH_FNV
+        for v in wh:
+            h = ((h ^ v) * _MH_MIX2) & _MASK64
+        return [h]
+    pos = _mh_pos_constants(k)
+    out = []
+    for i in range(n - k + 1):
+        acc = 0
+        for j in range(k):
+            acc ^= (wh[i + j] * pos[j]) & _MASK64
+        acc = (acc * _MH_MIX2) & _MASK64
+        acc ^= acc >> 29
+        out.append(acc)
+    return out
+
+
+def expected_minhash_pairs(docs: pa.Table) -> pa.Table:
+    import numpy as _np
+
+    rng = _np.random.RandomState(_MH_SEED)
+    a = [int(v) for v in rng.randint(1, _MH_M, size=_MH_N_PERM,
+                                     dtype=_np.uint64)]
+    b = [int(v) for v in rng.randint(0, _MH_M, size=_MH_N_PERM,
+                                     dtype=_np.uint64)]
+    rows_per_band = _MH_N_PERM // _MH_N_BANDS
+
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    sh_sets: dict[int, set[int]] = {}
+    buckets: dict[int, set[int]] = {}
+    for doc_id, text in zip(ids, texts):
+        shs = _mh_shingles(text)
+        sh_sets[doc_id] = set(shs)
+        if shs:
+            xs = [s % _MH_M for s in shs]
+            sig = [min((x * a[p] + b[p]) % _MH_M for x in xs)
+                   for p in range(_MH_N_PERM)]
+        else:
+            sig = [_MASK64] * _MH_N_PERM
+        for band in range(_MH_N_BANDS):
+            h = _MH_FNV
+            for r in range(rows_per_band):
+                h = ((h ^ sig[band * rows_per_band + r]) * _MH_MIX2) & _MASK64
+                h ^= h >> 31
+            key = (h >> 8) | (band << 56)
+            buckets.setdefault(key, set()).add(doc_id)
+
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) < 2 or len(members) > _MH_BUCKET_CAP:
+            continue
+        ms = sorted(members)
+        for i, x in enumerate(ms):
+            for y in ms[i + 1:]:
+                cand.add((x, y))
+
+    rows = []
+    for x, y in sorted(cand):
+        sa, sb = sh_sets[x], sh_sets[y]
+        union = len(sa | sb)
+        jac = (len(sa & sb) / union) if union else 1.0
+        if jac >= _MH_JACCARD:
+            rows.append((x, y, int(round(jac * 100))))
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard_pct": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # minting
 # ---------------------------------------------------------------------------
 
@@ -243,6 +359,7 @@ _TABLES = {
     "oracle_winnowing": expected_winnowing,
     "oracle_simhash_pairs": expected_simhash_pairs,
     "oracle_ngram_jaccard": expected_ngram_jaccard,
+    "oracle_minhash_pairs": expected_minhash_pairs,
 }
 
 
@@ -284,6 +401,12 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         ),
         "dedup_ngram_jaccard": (
             f"SELECT * FROM read_parquet('{d}/oracle_ngram_jaccard.parquet') "
+            "ORDER BY doc_a, doc_b"
+        ),
+        # banded-LSH pairs are deterministic GIVEN the pinned hash spec —
+        # the minted table transcribes that spec in plain Python
+        "dedup_minhash_lsh": (
+            f"SELECT * FROM read_parquet('{d}/oracle_minhash_pairs.parquet') "
             "ORDER BY doc_a, doc_b"
         ),
         # derived relationally from the SAME minted per-doc fingerprints the

@@ -59,10 +59,10 @@ def test_query_matches_oracle(name, con):
     pd.testing.assert_frame_equal(g, w, check_dtype=True)
 
 
-# only the probabilistic LSH queries lack oracles (recall < 1 by design;
-# pytest recall tests in test_dedup_ann.py gate their quality)
+# only the float-scoring ANN queries lack oracles (cosine scores cannot
+# be bit-pinned across independent matmul implementations; pytest recall
+# tests in test_dedup_ann.py gate their quality)
 ROWS_ONLY_MIN = {
-    "dedup_minhash_lsh": 0,
     "ann_lsh_topk": 1,
     "ann_ivf_topk": 1,
 }
