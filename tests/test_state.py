@@ -138,3 +138,28 @@ def test_schedule_distributed_equivalence():
     pd.testing.assert_frame_equal(
         dp.reset_index(drop=True), dd.reset_index(drop=True)
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_offer_fence_raises_loudly_on_stalled_stream():
+    """The fire-and-forget offer fence must be a STALL timeout, not
+    silence: if fewer offers arrive than the fetch tasks reported sending
+    (a worker died post-count pre-flush), the epoch aborts with a
+    TimeoutError naming the shortfall — never a silent wrong answer."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.stages.seen import (
+        ShardedSeen,
+        offer_min_batch,
+        wait_offers_received,
+    )
+
+    seen = ShardedSeen(2)
+    try:
+        h = seen.handles()
+        offer_min_batch(h, "norm", ["n1", "n2"], ["1|a", "2|b"])
+        # the happy path fences instantly
+        assert wait_offers_received(h, "norm", 2, timeout=5.0) >= 2
+        # claim 5 were sent but deliver nothing more -> loud stall abort
+        with pytest.raises(TimeoutError, match="2/5"):
+            wait_offers_received(h, "norm", 5, timeout=0.3)
+    finally:
+        seen.kill()
