@@ -1114,6 +1114,7 @@ def dedup_clusters(
         batch_format="pyarrow",
     ).materialize()
     if bidir.count() > 0:
+        converged = False
         prev = labels.sum("label")
         for _ in range(_CLUSTER_MAX_ITERS):
             msg = (
@@ -1136,8 +1137,18 @@ def dedup_clusters(
             ).materialize()
             cur = labels.sum("label")
             if cur == prev:  # labels only decrease ⇒ fixpoint reached
+                converged = True
                 break
             prev = cur
+        if not converged:
+            # label-prop needs O(component diameter) rounds; exceeding the
+            # bound means labels are NOT yet minimal — fail loudly rather
+            # than return silently-wrong clusters
+            raise RuntimeError(
+                f"dedup_clusters: min-label propagation did not converge "
+                f"in {_CLUSTER_MAX_ITERS} rounds — a component's diameter "
+                "exceeds the bound; raise _CLUSTER_MAX_ITERS"
+            )
     sizes = heal_blocks(
         labels.groupby("label").aggregate(Count(alias_name="cluster_size")),
         target_blocks=n_part,
