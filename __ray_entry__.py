@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce_topk": ann.ann_bruteforce_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
+        "knn_classify": ann.knn_classify,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_embedding_cosine": dedup.DEDUP_EMB_SQL,
         "ann_bruteforce_topk": ann.ANN_BRUTEFORCE_SQL,
+        "knn_classify": ann.KNN_CLASSIFY_SQL,
         "token_counts": text.TOKEN_COUNTS_SQL,
         "quality_scores": text.QUALITY_SQL,
         "doc_fingerprints": text.FINGERPRINT_SQL,

@@ -14,6 +14,10 @@
   nearest centroid inside ``map_batches``, queries probe only their
   ``nprobe`` nearest cells, exact re-rank on the probed cells. Approximate
   → rows-only check + recall test in pytest.
+- ``knn_classify``: exact all-vectors k-NN majority-vote classification
+  over QUANTIZED-INTEGER squared-L2 distances — unlike cosine ranks,
+  every comparison is exact int64 arithmetic, so the result is bit-stable
+  against a fully relational DuckDB oracle (value-hash-checked).
 """
 
 from __future__ import annotations
@@ -329,3 +333,207 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
             {"query_id": [], "vec_id": [], "rank": []}
         ).astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
     return _final_topk(partials, TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# exact kNN majority-vote classification (quantized-integer distances)
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+KNN_QSCALE = 10_000
+KNN_CHUNK_ROWS = 65_536          # query vectors broadcast per round
+KNN_MERGE_ROWS_PER_PART = 250_000
+
+
+def _quantize64(m: np.ndarray) -> np.ndarray:
+    """floor(float64(x)*QSCALE + 0.5) — the bit-exact spec shared with the
+    SQL oracle. The oracle spells the SAME IEEE expression with an explicit
+    ``CAST(x AS DOUBLE)``: DuckDB evaluates FLOAT-list arithmetic in
+    float32, which lands on .5 ties the float64 path avoids (measured:
+    0.242249995f*10000 → 2422.5f → 2423 vs the correct 2422).
+
+    The result stays in float64 — every quantized value is an integer, and
+    the guard below proves all downstream products/sums stay < 2^53, so
+    float64 matmul (BLAS) IS exact integer arithmetic here."""
+    return np.floor(m * KNN_QSCALE + 0.5)
+
+
+def _check_exact(q: np.ndarray) -> None:
+    dim = q.shape[1] if q.ndim == 2 else 1
+    worst = 4.0 * float(np.abs(q).max(initial=0.0)) ** 2 * dim
+    if worst >= 2.0**53:
+        raise ValueError(
+            "quantized embeddings too large for exact float64 integer "
+            "matmul — lower KNN_QSCALE or switch to an int64 (object) "
+            f"matmul path (worst-case sum {worst:.3g} ≥ 2^53)"
+        )
+
+
+class _KnnPartial:
+    """Per-batch partial top-k per broadcast query: ONE stable argsort of
+    the (batch × n_queries) integer distance matrix — rows are pre-sorted
+    by vec_id, so kind='stable' ties break by neighbor vec_id exactly as
+    the oracle's ``ORDER BY d2, nid``."""
+
+    def __init__(self, ref, k: int):
+        self.ref = ref
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..stages.fetch import cached_broadcast
+
+        qids, qmat, qnorm = cached_broadcast(self.ref)
+        idx0 = pa.compute.sort_indices(t["vec_id"])
+        t = t.take(idx0)
+        vids, m = _emb_rows(t)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = _quantize64(m)
+        _check_exact(b)
+        bnorm = (b * b).sum(axis=1)
+        d2 = bnorm[:, None] + qnorm[None, :] - 2.0 * (b @ qmat.T)
+        d2[vids[:, None] == qids[None, :]] = np.inf  # exclude self
+        k = min(self.k, d2.shape[0])
+        sel = np.argsort(d2, axis=0, kind="stable")[:k, :]  # (k, n_q)
+        top_d2 = np.take_along_axis(d2, sel, axis=0)
+        finite = np.isfinite(top_d2.T.ravel())  # drop selected self rows
+        nid = vids[sel].T.ravel()[finite]
+        nlabel = labels[sel].T.ravel()[finite]
+        qcol = np.repeat(qids, k)[finite]
+        return pa.table(
+            {
+                "vec_id": pa.array(qcol, pa.int64()),
+                "nid": pa.array(nid, pa.int64()),
+                "nlabel": pa.array(nlabel, pa.int64()),
+                "d2": pa.array(top_d2.T.ravel()[finite].astype(np.int64)),
+            }
+        )
+
+
+def _knn_vote_part(g: pd.DataFrame) -> pd.DataFrame:
+    """One vectorized pass per HASH PARTITION (never per query): global
+    top-k per query across batch partials, then majority vote with the
+    deterministic (votes DESC, label ASC) tie-break the oracle mirrors."""
+    g = g.sort_values(["vec_id", "d2", "nid"], kind="mergesort")
+    top = g.groupby("vec_id", sort=False).head(KNN_K)
+    votes = (
+        top.groupby(["vec_id", "nlabel"], sort=False)
+        .size()
+        .reset_index(name="votes")
+    )
+    votes = votes.sort_values(
+        ["vec_id", "votes", "nlabel"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    pred = votes.groupby("vec_id", sort=False).head(1)
+    return pd.DataFrame(
+        {
+            "vec_id": pred["vec_id"].astype("int64"),
+            "pred_label": pred["nlabel"].astype("int64"),
+            "votes": pred["votes"].astype("int64"),
+        }
+    )
+
+
+def knn_classify(sf_dir: str) -> pd.DataFrame:
+    """Exact leave-one-out k-NN classification of EVERY vector: quantize
+    each component to an integer (shared spec with the SQL oracle), rank
+    neighbors by exact int64 squared-L2 (ties → smaller vec_id), majority
+    label among the top ``KNN_K`` (ties → smaller label).
+
+    Scale shape: the query side is broadcast in ≤KNN_CHUNK_ROWS chunks
+    (driver holds one chunk at a time); each corpus batch does one float64
+    matmul + one stable argsort per chunk and emits only k rows per query;
+    the merge is hash-co-partitioned by query id with ONE vectorized pass
+    per partition. All-pairs compute is inherent to exactness — the
+    approximate regime is ``ann_lsh_topk`` / ``ann_ivf_topk``."""
+    from ._schema import heal_blocks, read_parquet_bounded
+
+    empty = pd.DataFrame(
+        {"vec_id": [], "pred_label": [], "votes": []}
+    ).astype({"vec_id": "int64", "pred_label": "int64", "votes": "int64"})
+
+    full = read_parquet_bounded(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    ).materialize()
+    n_rows = full.count()
+    if n_rows < 2:
+        return empty  # no neighbors to vote with (self is excluded)
+
+    partials = []
+    buf, buf_rows = [], 0
+    chunks = []
+    for b in full.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        buf.append(b)
+        buf_rows += b.num_rows
+        if buf_rows >= KNN_CHUNK_ROWS:
+            chunks.append(pa.concat_tables(buf))
+            buf, buf_rows = [], 0
+    if buf:
+        chunks.append(pa.concat_tables(buf))
+
+    for chunk in chunks:
+        qids, qm = _emb_rows(chunk)
+        qmat = _quantize64(qm)
+        _check_exact(qmat)
+        qnorm = (qmat * qmat).sum(axis=1)
+        ref = ray.put((qids, qmat, qnorm))
+        partials.append(
+            full.map_batches(
+                _KnnPartial(ref, KNN_K), batch_format="pyarrow",
+                batch_size=1024,
+            )
+        )
+    cand = partials[0] if len(partials) == 1 else partials[0].union(*partials[1:])
+    cand = heal_blocks(cand) or cand  # map over tiny blocks → typed schema
+
+    n_part = max(8, min(1024, n_rows * KNN_K // KNN_MERGE_ROWS_PER_PART + 1))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "part", pa.array((vid % n_part).astype(np.int64)))
+
+    out = (
+        cand.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_knn_vote_part, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return empty
+    return (
+        out[["vec_id", "pred_label", "votes"]]
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+KNN_CLASSIFY_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE)*{KNN_QSCALE} + 0.5) AS BIGINT)
+         ) AS qe
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid, b.label AS nlabel,
+         CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+              p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vid, nid, nlabel, d2,
+         row_number() OVER (PARTITION BY vid ORDER BY d2, nid) AS rn
+  FROM pairs
+), votes AS (
+  SELECT vid, nlabel, count(*) AS votes
+  FROM ranked WHERE rn <= {KNN_K} GROUP BY vid, nlabel
+), pred AS (
+  SELECT vid, nlabel, votes,
+         row_number() OVER (PARTITION BY vid ORDER BY votes DESC, nlabel) AS pr
+  FROM votes
+)
+SELECT vid AS vec_id, CAST(nlabel AS BIGINT) AS pred_label,
+       CAST(votes AS BIGINT) AS votes
+FROM pred WHERE pr = 1 ORDER BY vec_id
+"""

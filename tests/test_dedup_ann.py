@@ -406,3 +406,87 @@ def test_ann_ivf_finds_planted_twins(planted_dir):
     iv1 = dict(zip(ivf[ivf["rank"] == 1]["query_id"], ivf[ivf["rank"] == 1]["vec_id"]))
     assert iv1.get(0) == bf1[0] == 30
     assert iv1.get(5) == bf1[5] == 31
+
+
+# ---------------------------------------------------------------------------
+# knn_classify — exact quantized-integer kNN (bit-stable vs DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _knn_oracle(sf_dir):
+    import duckdb
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import ann
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    return (
+        con.execute(ann.KNN_CLASSIFY_SQL)
+        .df()
+        .astype({"pred_label": "int64", "votes": "int64"})
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_classify_matches_duckdb_on_planted(planted_dir):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import ann
+
+    got = ann.knn_classify(planted_dir)
+    want = _knn_oracle(planted_dir)
+    pd.testing.assert_frame_equal(
+        got, want[["vec_id", "pred_label", "votes"]], check_dtype=True
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_classify_chunked_broadcast_equality(planted_dir, monkeypatch):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import ann
+
+    base = ann.knn_classify(planted_dir)
+    monkeypatch.setattr(ann, "KNN_CHUNK_ROWS", 7)  # force many query chunks
+    chunked = ann.knn_classify(planted_dir)
+    pd.testing.assert_frame_equal(base, chunked, check_dtype=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_classify_tiny_and_degenerate(tmp_path):
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import ann
+
+    def write(d, vecs, labels):
+        os.makedirs(d, exist_ok=True)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        )
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+
+    # single vector: no neighbors (self excluded) → typed empty result
+    solo = str(tmp_path / "solo")
+    write(solo, [[1.0, 0.0]], [7])
+    out = ann.knn_classify(solo)
+    assert len(out) == 0
+    assert list(out.columns) == ["vec_id", "pred_label", "votes"]
+    assert str(out["pred_label"].dtype) == "int64"
+
+    # 3 vectors, fewer neighbors than K: votes over all-but-self, and the
+    # (votes DESC, label ASC) tie-break picks the smaller label
+    tri = str(tmp_path / "tri")
+    write(tri, [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]], [3, 5, 9])
+    got = ann.knn_classify(tri)
+    want = _knn_oracle(tri)
+    pd.testing.assert_frame_equal(
+        got, want[["vec_id", "pred_label", "votes"]], check_dtype=True
+    )
+    # each vector has exactly 2 neighbors, one vote each → label tie →
+    # smallest label wins
+    assert got.loc[got.vec_id == 0, "pred_label"].item() == 5  # {5,9} → 5
+    assert got.loc[got.vec_id == 1, "pred_label"].item() == 3  # {3,9} → 3
+    assert got.loc[got.vec_id == 2, "pred_label"].item() == 3  # {3,5} → 3
