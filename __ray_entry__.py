@@ -25,6 +25,7 @@ from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
     ann,
     crawl_queries as cq,
     dedup,
+    graph,
     relational,
     text,
 )
@@ -91,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "knn_classify": ann.knn_classify,
+        # --- link-graph analytics ---
+        "link_pagerank": graph.link_pagerank,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
@@ -148,6 +151,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": dedup.DEDUP_EMB_SQL,
         "ann_bruteforce_topk": ann.ANN_BRUTEFORCE_SQL,
         "knn_classify": ann.KNN_CLASSIFY_SQL,
+        "link_pagerank": graph.pagerank_sql(
+            graph.mint_graph_oracle("/root/testdata/sf0.01")),
         "token_counts": text.TOKEN_COUNTS_SQL,
         "quality_scores": text.QUALITY_SQL,
         "doc_fingerprints": text.FINGERPRINT_SQL,

@@ -1,0 +1,336 @@
+"""PageRank over the crawl link graph — deterministic INTEGER arithmetic.
+
+The webtext operator the reference's link extraction naturally feeds: rank
+every corpus page by the link structure the extractors discover
+(reference link surface: crawler/crawler_twotier.go OnHTML handlers; our
+engine side reuses the same vectorized RouteAndExtract kernels the
+byte-identical text gate pins).
+
+Float PageRank is NOT reproducible across summation orders, so the spec
+is integer end-to-end (the house rule that made the money sums and
+tf-idf hash-checkable):
+
+- node set   = { normalize_url(u) : u ∈ corpus pages }
+- edge set   = distinct (norm(src), norm(link)) for every extracted link
+               whose norm is a corpus node, self-loops dropped
+- R₀(v)      = SCALE // n            (all int64)
+- iterate ITERS times:
+    S(u)  = Σ_{v→u}  R(v) // outdeg(v)        (order-independent int sum)
+    R'(u) = (15·(SCALE // n)) // 100  +  (85·S(u)) // 100
+- dangling mass is dropped (documented; both sides agree by construction)
+
+Every operation is int64 floor-division/addition, so the distributed
+groupby-sum, the driver numpy path and the DuckDB chained-CTE oracle are
+bit-identical regardless of partitioning or summation order.
+
+Scale shape: edges are derived inside ``map_batches`` (per-batch distinct
+partial before the global distinct groupby), the node-membership filter is
+a hash JOIN (never a broadcast of the node set), and each iteration is
+join + groupby-sum over the co-keyed edge table. ``mode="driver"``
+(below PR_SMALL_LIMIT edge rows) collects the distinct edge list once and
+runs the same integer recurrence vectorized — size-adaptive twins,
+equality-tested like the MinHash/SimHash tails.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..config import CrawlConfig
+
+PR_SCALE = 10**12
+PR_ITERS = 10
+PR_SMALL_LIMIT = 2_000_000   # distinct edge rows: driver below, distributed above
+GRAPH_ORACLE_ROOT = "/tmp/graft_graphoracle"
+GRAPH_ORACLE_VERSION = "v1"
+
+
+# ---------------------------------------------------------------------------
+# engine side: nodes + edges from the vectorized extraction kernels
+# ---------------------------------------------------------------------------
+
+
+def _edge_tables(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset, int]:
+    """(nodes, distinct edges, n_nodes) — engine-derived. Nodes/edges are
+    normalized inside map_batches with the per-worker memo cache
+    (stages/candidates._norm_cached — hub links repeat massively)."""
+    from ..sources.pages import read_pages
+    from ..stages.candidates import _norm_cached
+    from ..stages.extract import RouteAndExtract
+    from .crawl_queries import corpus_for
+    from ._schema import heal_blocks
+
+    cdir = corpus_for(sf_dir)
+    cfg = CrawlConfig()
+
+    def node_batch(t: pa.Table) -> pa.Table:
+        out = {_norm_cached(u) for u in t["url"].to_pylist()}
+        out.discard(None)
+        return pa.table({"node": pa.array(sorted(out), pa.string())})
+
+    nodes = (
+        read_pages(cdir, columns=["url"])
+        .map_batches(node_batch, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+    )
+    nodes = heal_blocks(nodes) or nodes
+
+    def edge_batch(t: pa.Table) -> pa.Table:
+        # per-batch DISTINCT partial — shrinks the global distinct shuffle
+        pairs: set[tuple[str, str]] = set()
+        urls = t["url"].to_pylist()
+        links_col = t["links"].to_pylist()
+        for u, links in zip(urls, links_col):
+            s = _norm_cached(u)
+            if s is None:
+                continue
+            for link in links or ():
+                d = _norm_cached(link)
+                if d is not None and d != s:
+                    pairs.add((s, d))
+        ordered = sorted(pairs)
+        return pa.table(
+            {
+                "src": pa.array([p[0] for p in ordered], pa.string()),
+                "dst": pa.array([p[1] for p in ordered], pa.string()),
+            }
+        )
+
+    edges = (
+        read_pages(cdir, columns=["url", "html"])
+        .map_batches(
+            RouteAndExtract(cfg), batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+        )
+        .select_columns(["url", "links"])
+        .map_batches(edge_batch, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
+    )
+    edges = heal_blocks(edges) or edges
+    # membership filter: dst must be a corpus node — a hash JOIN, never a
+    # broadcast of the (at scale, huge) node set. src ∈ nodes holds by
+    # construction (src IS a corpus page norm).
+    n_nodes = nodes.count()
+    n_part = max(2, min(1024, edges.count() // 250_000 + 1))
+    edges = edges.join(
+        nodes.rename_columns({"node": "dst"}),
+        join_type="inner", num_partitions=n_part, on=("dst",),
+    )
+    edges = heal_blocks(edges) or edges
+    return nodes, edges, n_nodes
+
+
+def _pr_base(n_nodes: int) -> tuple[int, int]:
+    r0 = PR_SCALE // n_nodes
+    return r0, (15 * r0) // 100
+
+
+def _pagerank_driver(nodes: list[str], edges: pd.DataFrame) -> pd.DataFrame:
+    """The same integer recurrence, vectorized on the driver — for graphs
+    whose DISTINCT edge list fits comfortably (< PR_SMALL_LIMIT rows)."""
+    order = sorted(nodes)
+    idx = {u: i for i, u in enumerate(order)}
+    n = len(order)
+    s_idx = edges["src"].map(idx).to_numpy(dtype=np.int64)
+    d_idx = edges["dst"].map(idx).to_numpy(dtype=np.int64)
+    deg = np.bincount(s_idx, minlength=n).astype(np.int64)
+    r0, base = _pr_base(n)
+    r = np.full(n, r0, dtype=np.int64)
+    for _ in range(PR_ITERS):
+        sums = np.zeros(n, dtype=np.int64)
+        if len(s_idx):
+            np.add.at(sums, d_idx, r[s_idx] // deg[s_idx])
+        r = base + (85 * sums) // 100
+    return pd.DataFrame({"url_norm": order, "pr_scaled": r})
+
+
+def _pagerank_distributed(
+    nodes: rd.Dataset, edges: rd.Dataset, n_nodes: int
+) -> pd.DataFrame:
+    """Iterative distributed PageRank: the edge table is joined with the
+    rank table per iteration (both hash-partitioned on the join key) and
+    contributions groupby-summed — exact int64 sums are order-independent,
+    so any partitioning gives the same bits."""
+    from ray.data.aggregate import Sum
+
+    from ._schema import heal_blocks
+
+    r0, base = _pr_base(n_nodes)
+
+    deg = edges.groupby("src").count().rename_columns({"count()": "d"})
+    deg = heal_blocks(deg) or deg
+    n_part = max(2, min(1024, edges.count() // 250_000 + 1))
+    edges_deg = edges.join(
+        deg, join_type="inner", num_partitions=n_part, on=("src",)
+    ).materialize()
+    edges_deg = heal_blocks(edges_deg) or edges_deg
+
+    def seed_rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "r", pa.array(np.full(t.num_rows, r0, dtype=np.int64)))
+
+    ranks = nodes.map_batches(seed_rank, batch_format="pyarrow").materialize()
+
+    def zero_s(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "s": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    zeros = nodes.map_batches(zero_s, batch_format="pyarrow").materialize()
+
+    for _ in range(PR_ITERS):
+        joined = edges_deg.join(
+            ranks.rename_columns({"node": "src"}),
+            join_type="inner", num_partitions=n_part, on=("src",),
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            c = (
+                t["r"].to_numpy(zero_copy_only=False)
+                // t["d"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            return pa.table({"node": t["dst"], "s": pa.array(c)})
+
+        sums = (
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .union(zeros)
+            .groupby("node")
+            .aggregate(Sum("s", alias_name="s"))
+        )
+        sums = heal_blocks(sums) or sums
+
+        def update(t: pa.Table) -> pa.Table:
+            s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "r": pa.array(base + (85 * s) // 100),
+                }
+            )
+
+        ranks = sums.map_batches(update, batch_format="pyarrow").materialize()
+
+    out = ranks.to_pandas().rename(
+        columns={"node": "url_norm", "r": "pr_scaled"})
+    out["pr_scaled"] = out["pr_scaled"].astype("int64")
+    return out.sort_values("url_norm").reset_index(drop=True)
+
+
+def link_pagerank(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
+    """(url_norm, pr_scaled): integer PageRank of every corpus page after
+    PR_ITERS iterations, pr_scaled summing to ≤ PR_SCALE (dangling mass
+    decays). Size-adaptive: ``driver`` collects the distinct edge list
+    once; ``distributed`` keeps ranks/edges as Datasets end-to-end."""
+    nodes_ds, edges_ds, n_nodes = _edge_tables(sf_dir)
+    if n_nodes == 0:
+        return pd.DataFrame(
+            {"url_norm": [], "pr_scaled": []}
+        ).astype({"url_norm": "object", "pr_scaled": "int64"})
+    if mode == "auto":
+        mode = "driver" if edges_ds.count() < PR_SMALL_LIMIT else "distributed"
+    if mode == "distributed":
+        return _pagerank_distributed(nodes_ds, edges_ds, n_nodes)
+    nodes = [r["node"] for r in nodes_ds.take_all()]
+    edges = edges_ds.select_columns(["src", "dst"]).to_pandas()
+    return _pagerank_driver(nodes, edges)
+
+
+# ---------------------------------------------------------------------------
+# oracle: pinned naive edge derivation + DuckDB chained-CTE PageRank
+# ---------------------------------------------------------------------------
+
+
+def mint_graph_oracle(sf_dir: str) -> str:
+    """Mint (nodes, edges) parquet via the PINNED per-page reference
+    extraction (oracle/reference.py extract_page + shared-spec
+    normalize_url) — naive Python, independent of the vectorized engine
+    kernels, cached like oracle/textops minting."""
+    from ..corpus import read_pages_table
+    from ..functions.urlnorm import normalize_url
+    from ..oracle.reference import extract_page
+    from .crawl_queries import corpus_for
+
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    out_dir = os.path.join(
+        GRAPH_ORACLE_ROOT, f"{sf}-{GRAPH_ORACLE_VERSION}")
+    stamp = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(stamp):
+        return out_dir
+    cdir = corpus_for(sf_dir)
+    cfg = CrawlConfig()
+    t = read_pages_table(cdir, columns=["url", "html"])
+    urls = t["url"].to_pylist()
+    htmls = t["html"].to_pylist()
+    nodes = {normalize_url(u) for u in urls}
+    nodes.discard(None)
+    edges: set[tuple[str, str]] = set()
+    for u, h in zip(urls, htmls):
+        src = normalize_url(u)
+        if src is None:
+            continue
+        ext = extract_page(u, h[: cfg.max_body_bytes], cfg.doc_extensions)
+        for link in ext.links:
+            dst = normalize_url(link)
+            if dst is not None and dst in nodes and dst != src:
+                edges.add((src, dst))
+    os.makedirs(out_dir, exist_ok=True)
+    ns = sorted(nodes)
+    pq.write_table(
+        pa.table({"node": pa.array(ns, pa.string())}),
+        os.path.join(out_dir, "nodes.parquet"),
+    )
+    es = sorted(edges)
+    pq.write_table(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in es], pa.string()),
+                "dst": pa.array([e[1] for e in es], pa.string()),
+            }
+        ),
+        os.path.join(out_dir, "edges.parquet"),
+    )
+    with open(stamp, "w"):
+        pass
+    return out_dir
+
+
+def pagerank_sql(oracle_dir: str) -> str:
+    """Chained-CTE integer PageRank — the relational mirror of the exact
+    recurrence above (DuckDB ``//`` is integer division on BIGINT)."""
+    parts = [
+        f"WITH nodes AS (SELECT node FROM read_parquet('{oracle_dir}/nodes.parquet')),",
+        f"edges AS (SELECT src, dst FROM read_parquet('{oracle_dir}/edges.parquet')),",
+        "nn AS (SELECT count(*) AS n FROM nodes),",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),",
+        f"it0 AS (SELECT node, CAST({PR_SCALE} // nn.n AS BIGINT) AS r FROM nodes, nn),",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS node, CAST(sum(p.r // dg.d) AS BIGINT) AS s "
+            f"FROM edges e JOIN it{i-1} p ON p.node = e.src "
+            f"JOIN deg dg ON dg.src = e.src GROUP BY e.dst),"
+        )
+        parts.append(
+            f"it{i} AS (SELECT n.node, CAST((15 * ({PR_SCALE} // nn.n)) // 100 "
+            f"+ (85 * COALESCE(s{i}.s, 0)) // 100 AS BIGINT) AS r "
+            f"FROM nodes n CROSS JOIN nn LEFT JOIN s{i} ON s{i}.node = n.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node AS url_norm, r AS pr_scaled FROM it{PR_ITERS} "
+        "ORDER BY url_norm"
+    )
+    return "\n".join(parts)
