@@ -283,7 +283,7 @@ def section_queries() -> dict:
     crawl has touched."""
     ray = _init_session()
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
-        ann, dedup, relational, text,
+        ann, dedup, graph, relational, text,
     )
 
     # untimed warm-up: spawn the worker pool + import the pipeline modules
@@ -310,6 +310,8 @@ def section_queries() -> dict:
         ("tfidf_top_terms", text.tfidf_top_terms),
         ("dedup_clusters", dedup.dedup_clusters),
         ("lang_length_quantiles", text.lang_length_quantiles),
+        ("knn_classify", ann.knn_classify),
+        ("link_pagerank", graph.link_pagerank),
     ]:
         # best-of-2: all-to-all query timings swing with page-cache/plasma
         # state; min is the achievable-time estimate
