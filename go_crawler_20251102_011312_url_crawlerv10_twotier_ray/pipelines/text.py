@@ -32,25 +32,27 @@ def _empty_typed(cols: dict[str, str]) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _token_count_batch(t: pa.Table) -> pa.Table:
+    s = pd.Series(t["text"].to_pylist())
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(
+                s.str.count(r"\S+").astype("int64"), pa.int64()
+            ),
+            "n_chars_actual": pa.array(s.str.len().astype("int64"), pa.int64()),
+        }
+    )
+
+
 def token_counts(sf_dir: str) -> pd.DataFrame:
     """(doc_id, n_tokens, n_chars_actual) — tokens = maximal \\S+ runs,
-    matching the SQL oracle's regexp_extract_all."""
+    matching the SQL oracle's regexp_extract_all. The kernel is
+    module-level so any documents-shaped source (parquet, JSONL) can
+    feed it — see tests/test_textio.py."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def count(t: pa.Table) -> pa.Table:
-        s = pd.Series(t["text"].to_pylist())
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_tokens": pa.array(
-                    s.str.count(r"\S+").astype("int64"), pa.int64()
-                ),
-                "n_chars_actual": pa.array(s.str.len().astype("int64"), pa.int64()),
-            }
-        )
-
     return (
-        ds.map_batches(count, batch_format="pyarrow")
+        ds.map_batches(_token_count_batch, batch_format="pyarrow")
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)

@@ -63,3 +63,49 @@ def test_pagerank_matches_duckdb_oracle():
     want = duckdb.connect().execute(graph.pagerank_sql(odir)).df()
     want["pr_scaled"] = want["pr_scaled"].astype("int64")
     pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+# property test: the vectorized driver recurrence vs a naive per-node
+# dict implementation of the SAME integer spec, on random small graphs
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _naive_pagerank(nodes, edge_pairs, iters):
+    nodes = sorted(set(nodes))
+    n = len(nodes)
+    r0 = graph.PR_SCALE // n
+    base = (15 * r0) // 100
+    out_adj = {}
+    for s, d in edge_pairs:
+        out_adj.setdefault(s, []).append(d)
+    r = {u: r0 for u in nodes}
+    for _ in range(iters):
+        sums = {u: 0 for u in nodes}
+        for s, dsts in out_adj.items():
+            c = r[s] // len(dsts)
+            for d in dsts:
+                sums[d] += c
+        r = {u: base + (85 * sums[u]) // 100 for u in nodes}
+    return {u: r[u] for u in nodes}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.lists(st.tuples(st.integers(0, 11), st.integers(0, 11)), max_size=40),
+)
+def test_pagerank_driver_matches_naive_on_random_graphs(n, raw_edges):
+    nodes = [f"n{i}" for i in range(n)]
+    pairs = sorted(
+        {(f"n{a % n}", f"n{b % n}") for a, b in raw_edges if a % n != b % n}
+    )
+    out = graph._pagerank_driver(
+        nodes,
+        pd.DataFrame(
+            {"src": [p[0] for p in pairs], "dst": [p[1] for p in pairs]}
+        ),
+    )
+    want = _naive_pagerank(nodes, pairs, graph.PR_ITERS)
+    got = dict(zip(out["url_norm"], out["pr_scaled"]))
+    assert got == want
