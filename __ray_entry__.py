@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_counts": relational.part_type_counts,
         "q6_revenue_forecast": relational.q6_revenue_forecast,
         "region_supplier_stats": relational.region_supplier_stats,
+        "events_props_extract": relational.events_props_extract,
         # --- training-data ops: dedup ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -94,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": ann.knn_classify,
         # --- link-graph analytics ---
         "link_pagerank": graph.link_pagerank,
+        "link_degree_stats": graph.link_degree_stats,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
@@ -147,11 +149,14 @@ def oracle_sql() -> dict[str, str]:
         "part_type_counts": relational.PART_TYPE_SQL,
         "q6_revenue_forecast": relational.Q6_SQL,
         "region_supplier_stats": relational.REGION_SUPPLIER_SQL,
+        "events_props_extract": relational.EVENTS_PROPS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_embedding_cosine": dedup.DEDUP_EMB_SQL,
         "ann_bruteforce_topk": ann.ANN_BRUTEFORCE_SQL,
         "knn_classify": ann.KNN_CLASSIFY_SQL,
         "link_pagerank": graph.pagerank_sql(
+            graph.mint_graph_oracle("/root/testdata/sf0.01")),
+        "link_degree_stats": graph.degree_stats_sql(
             graph.mint_graph_oracle("/root/testdata/sf0.01")),
         "token_counts": text.TOKEN_COUNTS_SQL,
         "quality_scores": text.QUALITY_SQL,

@@ -334,3 +334,72 @@ def pagerank_sql(oracle_dir: str) -> str:
         "ORDER BY url_norm"
     )
     return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# per-node degree stats
+# ---------------------------------------------------------------------------
+
+
+def link_degree_stats(sf_dir: str) -> pd.DataFrame:
+    """(url_norm, out_deg, in_deg) for EVERY node (zero-degree included).
+    One shuffle: edges are exploded to (node, o, i) unit rows, unioned
+    with an all-nodes zero row, and groupby-summed — in/out degrees in a
+    single all-to-all pass, never a driver-side edge collect."""
+    from ray.data.aggregate import Sum
+
+    from ._schema import heal_blocks
+
+    nodes, edges, n_nodes = _edge_tables(sf_dir)
+    if n_nodes == 0:
+        return pd.DataFrame(
+            {"url_norm": [], "out_deg": [], "in_deg": []}
+        ).astype({"url_norm": "object", "out_deg": "int64", "in_deg": "int64"})
+
+    def unit_rows(t: pa.Table) -> pa.Table:
+        k = t.num_rows
+        one = np.ones(k, dtype=np.int64)
+        zero = np.zeros(k, dtype=np.int64)
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]),
+                "o": pa.array(np.concatenate([one, zero])),
+                "i": pa.array(np.concatenate([zero, one])),
+            }
+        )
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, dtype=np.int64)
+        return pa.table(
+            {"node": t["node"], "o": pa.array(z), "i": pa.array(z)}
+        )
+
+    out = (
+        edges.map_batches(unit_rows, batch_format="pyarrow")
+        .union(nodes.map_batches(zero_rows, batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Sum("o", alias_name="out_deg"),
+                   Sum("i", alias_name="in_deg"))
+    )
+    out = heal_blocks(out) or out
+    df = out.to_pandas().rename(columns={"node": "url_norm"})
+    df["out_deg"] = df["out_deg"].astype("int64")
+    df["in_deg"] = df["in_deg"].astype("int64")
+    return df.sort_values("url_norm").reset_index(drop=True)[
+        ["url_norm", "out_deg", "in_deg"]
+    ]
+
+
+def degree_stats_sql(oracle_dir: str) -> str:
+    return f"""
+WITH nodes AS (SELECT node FROM read_parquet('{oracle_dir}/nodes.parquet')),
+edges AS (SELECT src, dst FROM read_parquet('{oracle_dir}/edges.parquet')),
+o AS (SELECT src AS node, count(*) AS c FROM edges GROUP BY src),
+i AS (SELECT dst AS node, count(*) AS c FROM edges GROUP BY dst)
+SELECT n.node AS url_norm,
+       CAST(COALESCE(o.c, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(i.c, 0) AS BIGINT) AS in_deg
+FROM nodes n LEFT JOIN o ON o.node = n.node LEFT JOIN i ON i.node = n.node
+ORDER BY url_norm
+"""

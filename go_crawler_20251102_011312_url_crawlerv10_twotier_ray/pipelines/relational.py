@@ -799,3 +799,70 @@ FROM events a JOIN events b
   ON b.ts > a.ts - INTERVAL {RANGE_WIN_MIN} MINUTE AND b.ts <= a.ts
 GROUP BY a.event_id ORDER BY a.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# events_props_extract: semi-structured JSON projection + grouped aggregate
+# ---------------------------------------------------------------------------
+
+
+def events_props_extract(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type stats over the integer ``k`` field inside the
+    ``props`` JSON column: (event_type, n_events, sum_k, min_k, max_k).
+
+    The extraction kernel is a VECTORIZED regex projection (pandas C
+    engine) specialized to the column's fixed object shape — the
+    simdjson-style "raw-filter then parse" pattern; no per-row
+    json.loads. n_events counts every row; sum/min/max skip rows where
+    the key is absent, matching SQL NULL semantics. Per-batch partial
+    combine, then a tiny groupby over (event_types × batches) rows."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = pd.Series(t["event_type"].to_pylist())
+        ks = (
+            pd.Series(t["props"].to_pylist())
+            .str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+            .astype("float64")
+        )
+        g = pd.DataFrame({"event_type": et, "k": ks}).groupby(
+            "event_type", sort=False
+        )["k"]
+        out = pd.DataFrame(
+            {
+                "n": g.size(),
+                "s": g.sum(),
+                "mn": g.min(),
+                "mx": g.max(),
+            }
+        ).reset_index()
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n": pa.array(out["n"].astype("int64"), pa.int64()),
+                "s": pa.array(out["s"].astype("int64"), pa.int64()),
+                "mn": pa.array(out["mn"].astype("int64"), pa.int64()),
+                "mx": pa.array(out["mx"].astype("int64"), pa.int64()),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        p.groupby("event_type", sort=True)
+        .agg(n_events=("n", "sum"), sum_k=("s", "sum"),
+             min_k=("mn", "min"), max_k=("mx", "max"))
+        .reset_index()
+    )
+    for c in ("n_events", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""

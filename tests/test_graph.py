@@ -109,3 +109,17 @@ def test_pagerank_driver_matches_naive_on_random_graphs(n, raw_edges):
     want = _naive_pagerank(nodes, pairs, graph.PR_ITERS)
     got = dict(zip(out["url_norm"], out["pr_scaled"]))
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_degree_stats_match_duckdb_and_pagerank_consistency():
+    import duckdb
+
+    got = graph.link_degree_stats(SF)
+    odir = graph.mint_graph_oracle(SF)
+    want = duckdb.connect().execute(graph.degree_stats_sql(odir)).df()
+    for c in ("out_deg", "in_deg"):
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    # totals balance: every edge contributes one out and one in
+    assert got["out_deg"].sum() == got["in_deg"].sum() > 0
