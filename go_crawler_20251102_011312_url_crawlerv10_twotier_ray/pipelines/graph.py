@@ -56,10 +56,17 @@ GRAPH_ORACLE_VERSION = "v1"
 # ---------------------------------------------------------------------------
 
 
+# the graph queries share one derived (nodes, edges) pair per corpus —
+# extraction over the whole corpus is the expensive part (same pattern as
+# crawl_queries._CRAWL_CACHE; at most one corpus cached)
+_GRAPH_CACHE: dict[str, tuple] = {}
+
+
 def _edge_tables(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset, int]:
-    """(nodes, distinct edges, n_nodes) — engine-derived. Nodes/edges are
-    normalized inside map_batches with the per-worker memo cache
-    (stages/candidates._norm_cached — hub links repeat massively)."""
+    """(nodes, distinct edges, n_nodes) — engine-derived, MATERIALIZED and
+    cached per corpus. Nodes/edges are normalized inside map_batches with
+    the per-worker memo cache (stages/candidates._norm_cached — hub links
+    repeat massively)."""
     from ..sources.pages import read_pages
     from ..stages.candidates import _norm_cached
     from ..stages.extract import RouteAndExtract
@@ -67,6 +74,8 @@ def _edge_tables(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset, int]:
     from ._schema import heal_blocks
 
     cdir = corpus_for(sf_dir)
+    if cdir in _GRAPH_CACHE:
+        return _GRAPH_CACHE[cdir]
     cfg = CrawlConfig()
 
     def node_batch(t: pa.Table) -> pa.Table:
@@ -127,6 +136,10 @@ def _edge_tables(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset, int]:
         join_type="inner", num_partitions=n_part, on=("dst",),
     )
     edges = heal_blocks(edges) or edges
+    nodes = nodes.materialize()
+    edges = edges.materialize()
+    _GRAPH_CACHE.clear()
+    _GRAPH_CACHE[cdir] = (nodes, edges, n_nodes)
     return nodes, edges, n_nodes
 
 
