@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- link-graph analytics ---
         "link_pagerank": graph.link_pagerank,
         "link_degree_stats": graph.link_degree_stats,
+        "link_components": graph.link_components,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
@@ -157,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": graph.pagerank_sql(
             graph.mint_graph_oracle("/root/testdata/sf0.01")),
         "link_degree_stats": graph.degree_stats_sql(
+            graph.mint_graph_oracle("/root/testdata/sf0.01")),
+        "link_components": graph.components_sql(
             graph.mint_graph_oracle("/root/testdata/sf0.01")),
         "token_counts": text.TOKEN_COUNTS_SQL,
         "quality_scores": text.QUALITY_SQL,

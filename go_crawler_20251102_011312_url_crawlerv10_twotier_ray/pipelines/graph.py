@@ -416,3 +416,162 @@ SELECT n.node AS url_norm,
 FROM nodes n LEFT JOIN o ON o.node = n.node LEFT JOIN i ON i.node = n.node
 ORDER BY url_norm
 """
+
+
+# ---------------------------------------------------------------------------
+# connected components (undirected view of the link graph)
+# ---------------------------------------------------------------------------
+
+COMP_SMALL_LIMIT = 2_000_000   # edge rows: driver union-find below
+COMP_MAX_ITERS = 64            # ≥ any real component diameter; loud failure
+
+
+def _label_checksum_batch(t: pa.Table) -> pa.Table:
+    """Order-independent checksum partial over the label column (the
+    string analogue of dedup_clusters' sum(label) fixpoint probe):
+    vectorized per-row hashes, modular uint64 sum. Labels only ever
+    DECREASE under min-propagation, so a stalled checksum means a
+    fixpoint up to a 2^-64 collision — the join-free convergence test."""
+    s = pd.Series(t["label"].to_pylist())
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+    with np.errstate(over="ignore"):
+        total = h.sum(dtype=np.uint64)
+    return pa.table({"ck": pa.array([int(total) - 2**63], pa.int64())})
+
+
+def _components_driver(nodes: list[str], edge_pairs) -> list[str]:
+    """min-id union-find with path compression (pure function — property-
+    tested against a naive BFS on random graphs)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [find(u) for u in nodes]
+
+
+def link_components(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
+    """(url_norm, component_id, component_size): undirected connected
+    components of the link graph; component_id = lexicographically
+    smallest url_norm in the component (ASCII URLs ⇒ Python/pandas/DuckDB
+    string mins agree). Size-adaptive twins like dedup_clusters: driver
+    union-find below COMP_SMALL_LIMIT edges; distributed min-label
+    propagation above (labels ⋈ bidirectional edges → groupby-min per
+    round, O(diameter) rounds, fixpoint detected by an order-independent
+    label checksum, loud failure at COMP_MAX_ITERS)."""
+    from ray.data.aggregate import Min
+
+    from ._schema import heal_blocks
+
+    nodes_ds, edges_ds, n_nodes = _edge_tables(sf_dir)
+    empty = pd.DataFrame(
+        {"url_norm": [], "component_id": [], "component_size": []}
+    ).astype({"url_norm": "object", "component_id": "object",
+              "component_size": "int64"})
+    if n_nodes == 0:
+        return empty
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("component_id")["url_norm"].transform("size")
+        df = df.assign(component_size=sizes.astype("int64"))
+        return (
+            df[["url_norm", "component_id", "component_size"]]
+            .sort_values("url_norm")
+            .reset_index(drop=True)
+        )
+
+    n_edges = edges_ds.count()
+    if mode == "auto":
+        mode = "driver" if n_edges < COMP_SMALL_LIMIT else "distributed"
+
+    if mode == "driver":
+        nodes = [r["node"] for r in nodes_ds.take_all()]
+        e = edges_ds.to_pandas()
+        df = pd.DataFrame({"url_norm": nodes})
+        df["component_id"] = _components_driver(
+            nodes, list(zip(e["src"], e["dst"])))
+        return _finish(df)
+
+    # ---- distributed tail: min-label propagation over string labels ----
+    n_part = max(2, min(1024, n_edges // 250_000 + 1))
+    bidir = (
+        edges_ds.union(
+            edges_ds.map_batches(
+                lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+                batch_format="pyarrow",
+            )
+        ).materialize()
+    )
+    labels = nodes_ds.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _checksum(ds: rd.Dataset) -> int:
+        return int(
+            ds.map_batches(_label_checksum_batch, batch_format="pyarrow")
+            .to_pandas()["ck"].sum()
+        )
+
+    prev = _checksum(labels)
+    for _ in range(COMP_MAX_ITERS):
+        msg = (
+            bidir.join(
+                labels.rename_columns({"node": "src"}),
+                join_type="inner", num_partitions=n_part, on=("src",),
+            )
+            .map_batches(
+                lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+                batch_format="pyarrow",
+            )
+        )
+        labels = heal_blocks(
+            labels.union(msg)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label")),
+            target_blocks=n_part,
+        ).materialize()
+        cur = _checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"link_components: min-label propagation did not converge in "
+            f"{COMP_MAX_ITERS} rounds — component diameter exceeds the "
+            "bound; raise COMP_MAX_ITERS"
+        )
+    df = labels.to_pandas().rename(
+        columns={"node": "url_norm", "label": "component_id"})
+    return _finish(df)
+
+
+def components_sql(oracle_dir: str) -> str:
+    """Recursive-CTE reachability → min label per node (terminates: the
+    UNION-dedup'd (node, root) pair set is finite)."""
+    return f"""
+WITH RECURSIVE
+nodes AS (SELECT node FROM read_parquet('{oracle_dir}/nodes.parquet')),
+edges AS (SELECT src, dst FROM read_parquet('{oracle_dir}/edges.parquet')),
+bidir AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach AS (
+  SELECT node, node AS root FROM nodes
+  UNION
+  SELECT b.dst AS node, reach.root
+  FROM reach JOIN bidir b ON b.src = reach.node
+),
+comp AS (SELECT node, min(root) AS component_id FROM reach GROUP BY node)
+SELECT c.node AS url_norm, c.component_id,
+       CAST(count(*) OVER (PARTITION BY c.component_id) AS BIGINT)
+         AS component_size
+FROM comp c ORDER BY url_norm
+"""

@@ -123,3 +123,52 @@ def test_degree_stats_match_duckdb_and_pagerank_consistency():
     pd.testing.assert_frame_equal(got, want, check_dtype=True)
     # totals balance: every edge contributes one out and one in
     assert got["out_deg"].sum() == got["in_deg"].sum() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_components_modes_equal_and_match_duckdb():
+    import duckdb
+
+    drv = graph.link_components(SF, mode="driver")
+    dist = graph.link_components(SF, mode="distributed")
+    pd.testing.assert_frame_equal(drv, dist, check_dtype=True)
+    odir = graph.mint_graph_oracle(SF)
+    want = duckdb.connect().execute(graph.components_sql(odir)).df()
+    want["component_size"] = want["component_size"].astype("int64")
+    pd.testing.assert_frame_equal(drv, want, check_dtype=True)
+    # every component id is a member of its own component
+    ids = set(drv["url_norm"])
+    assert set(drv["component_id"]) <= ids
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=14),
+    st.lists(st.tuples(st.integers(0, 13), st.integers(0, 13)), max_size=30),
+)
+def test_components_union_find_matches_bfs(n, raw_edges):
+    nodes = [f"n{i:02d}" for i in range(n)]
+    pairs = [(f"n{a % n:02d}", f"n{b % n:02d}") for a, b in raw_edges
+             if a % n != b % n]
+    got = dict(zip(nodes, graph._components_driver(nodes, pairs)))
+    # naive BFS reference
+    adj = {u: set() for u in nodes}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for u in nodes:
+        if u in want:
+            continue
+        comp, stack = [], [u]
+        seen = {u}
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for w in adj[v] - seen:
+                seen.add(w)
+                stack.append(w)
+        root = min(comp)
+        for v in comp:
+            want[v] = root
+    assert got == want
