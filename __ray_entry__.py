@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": graph.link_pagerank,
         "link_degree_stats": graph.link_degree_stats,
         "link_components": graph.link_components,
+        "link_bfs_depth": graph.link_bfs_depth,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
@@ -160,6 +161,8 @@ def oracle_sql() -> dict[str, str]:
         "link_degree_stats": graph.degree_stats_sql(
             graph.mint_graph_oracle("/root/testdata/sf0.01")),
         "link_components": graph.components_sql(
+            graph.mint_graph_oracle("/root/testdata/sf0.01")),
+        "link_bfs_depth": graph.bfs_depth_sql(
             graph.mint_graph_oracle("/root/testdata/sf0.01")),
         "token_counts": text.TOKEN_COUNTS_SQL,
         "quality_scores": text.QUALITY_SQL,

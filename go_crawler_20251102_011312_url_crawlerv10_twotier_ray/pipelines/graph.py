@@ -48,7 +48,7 @@ PR_SCALE = 10**12
 PR_ITERS = 10
 PR_SMALL_LIMIT = 2_000_000   # distinct edge rows: driver below, distributed above
 GRAPH_ORACLE_ROOT = "/tmp/graft_graphoracle"
-GRAPH_ORACLE_VERSION = "v1"
+GRAPH_ORACLE_VERSION = "v2"   # v2: + seeds.parquet (link_bfs_depth)
 
 
 # ---------------------------------------------------------------------------
@@ -315,6 +315,13 @@ def mint_graph_oracle(sf_dir: str) -> str:
         ),
         os.path.join(out_dir, "edges.parquet"),
     )
+    st = pq.read_table(os.path.join(cdir, "seeds.parquet"))
+    seeds = {normalize_url(u) for u in st["url"].to_pylist()}
+    seeds.discard(None)
+    pq.write_table(
+        pa.table({"node": pa.array(sorted(seeds), pa.string())}),
+        os.path.join(out_dir, "seeds.parquet"),
+    )
     with open(stamp, "w"):
         pass
     return out_dir
@@ -574,4 +581,141 @@ SELECT c.node AS url_norm, c.component_id,
        CAST(count(*) OVER (PARTITION BY c.component_id) AS BIGINT)
          AS component_size
 FROM comp c ORDER BY url_norm
+"""
+
+
+# ---------------------------------------------------------------------------
+# BFS depth from the crawl seeds (directed min-hop distance)
+# ---------------------------------------------------------------------------
+
+BFS_MAX_ROUNDS = 99   # shared with the SQL oracle's path-length cap: results
+                      # are equal whenever the fixpoint lands under the cap,
+                      # and the engine fails LOUDLY if it does not
+
+
+def _seed_norms(sf_dir: str) -> list[str]:
+    """Normalized corpus seed URLs (shared urlnorm spec)."""
+    from ..functions.urlnorm import normalize_url
+    from .crawl_queries import corpus_for
+
+    cdir = corpus_for(sf_dir)
+    t = pq.read_table(os.path.join(cdir, "seeds.parquet"))
+    out = {normalize_url(u) for u in t["url"].to_pylist()}
+    out.discard(None)
+    return sorted(out)
+
+
+def _bfs_driver(seeds: list[str], edge_pairs) -> dict[str, int]:
+    """Plain BFS (pure function; property-tested vs naive relaxation)."""
+    adj: dict[str, list[str]] = {}
+    for a, b in edge_pairs:
+        adj.setdefault(a, []).append(b)
+    depth = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    d = 0
+    while frontier and d < BFS_MAX_ROUNDS:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in depth:
+                    depth[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    return depth
+
+
+def link_bfs_depth(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
+    """(url_norm, depth): minimum DIRECTED hop count from any crawl seed
+    over the extracted link graph — the idealized depth map the crawler's
+    depth gate approximates (reference depth context:
+    crawler_twotier.go:194). Unreachable pages are omitted (matching the
+    SQL oracle's recursive reachability). Size-adaptive twins: driver BFS
+    below PR_SMALL_LIMIT edges; distributed min-depth propagation above —
+    (node, depth) labels ⋈ edges → groupby-min per round, converging in
+    O(eccentricity) rounds with a loud failure at BFS_MAX_ROUNDS."""
+    from ray.data.aggregate import Min
+
+    from ._schema import heal_blocks
+
+    _, edges_ds, n_nodes = _edge_tables(sf_dir)
+    seeds = _seed_norms(sf_dir)
+    empty = pd.DataFrame({"url_norm": [], "depth": []}).astype(
+        {"url_norm": "object", "depth": "int64"})
+    if n_nodes == 0 or not seeds:
+        return empty
+
+    n_edges = edges_ds.count()
+    if mode == "auto":
+        mode = "driver" if n_edges < PR_SMALL_LIMIT else "distributed"
+
+    if mode == "driver":
+        e = edges_ds.to_pandas()
+        depth = _bfs_driver(seeds, list(zip(e["src"], e["dst"])))
+        out = pd.DataFrame(
+            {"url_norm": list(depth), "depth": list(depth.values())})
+        out["depth"] = out["depth"].astype("int64")
+        return out.sort_values("url_norm").reset_index(drop=True)
+
+    # ---- distributed tail: min-depth label propagation ----
+    n_part = max(2, min(1024, n_edges // 250_000 + 1))
+    labels = rd.from_arrow(
+        pa.table({"node": pa.array(seeds, pa.string()),
+                  "depth": pa.array([0] * len(seeds), pa.int64())})
+    ).materialize()
+
+    prev = (-1, -1)
+    for _ in range(BFS_MAX_ROUNDS):
+        msg = (
+            edges_ds.join(
+                labels.rename_columns({"node": "src"}),
+                join_type="inner", num_partitions=n_part, on=("src",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t["dst"],
+                     "depth": pa.compute.add(t["depth"], 1)}),
+                batch_format="pyarrow",
+            )
+        )
+        labels = heal_blocks(
+            labels.union(msg)
+            .groupby("node")
+            .aggregate(Min("depth", alias_name="depth")),
+            target_blocks=n_part,
+        ).materialize()
+        # labels only grow in count and shrink in sum → (count, sum)
+        # stability IS the fixpoint
+        cur = (labels.count(), int(labels.sum("depth")))
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"link_bfs_depth: propagation did not converge in "
+            f"{BFS_MAX_ROUNDS} rounds — graph eccentricity exceeds the "
+            "shared cap; raise BFS_MAX_ROUNDS (and the SQL bound) together"
+        )
+    out = labels.to_pandas().rename(columns={"node": "url_norm"})
+    out["depth"] = out["depth"].astype("int64")
+    return out.sort_values("url_norm").reset_index(drop=True)[
+        ["url_norm", "depth"]]
+
+
+def bfs_depth_sql(oracle_dir: str) -> str:
+    """Recursive reachability with the SHARED path-length cap; min(d) per
+    node. Terminates: the UNION-dedup'd (node, d ≤ cap) set is finite."""
+    return f"""
+WITH RECURSIVE
+edges AS (SELECT src, dst FROM read_parquet('{oracle_dir}/edges.parquet')),
+seeds AS (SELECT node FROM read_parquet('{oracle_dir}/seeds.parquet')),
+reach AS (
+  SELECT node, 0 AS d FROM seeds
+  UNION
+  SELECT e.dst AS node, reach.d + 1 AS d
+  FROM reach JOIN edges e ON e.src = reach.node
+  WHERE reach.d < {BFS_MAX_ROUNDS}
+)
+SELECT node AS url_norm, CAST(min(d) AS BIGINT) AS depth
+FROM reach GROUP BY node ORDER BY url_norm
 """

@@ -172,3 +172,45 @@ def test_components_union_find_matches_bfs(n, raw_edges):
         for v in comp:
             want[v] = root
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_depth_modes_equal_and_match_duckdb():
+    import duckdb
+
+    drv = graph.link_bfs_depth(SF, mode="driver")
+    dist = graph.link_bfs_depth(SF, mode="distributed")
+    pd.testing.assert_frame_equal(drv, dist, check_dtype=True)
+    odir = graph.mint_graph_oracle(SF)
+    want = duckdb.connect().execute(graph.bfs_depth_sql(odir)).df()
+    want["depth"] = want["depth"].astype("int64")
+    pd.testing.assert_frame_equal(drv, want, check_dtype=True)
+    # seeds sit at depth 0; depths are contiguous from 0
+    assert (drv["depth"] >= 0).all()
+    assert drv["depth"].min() == 0
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.lists(st.tuples(st.integers(0, 11), st.integers(0, 11)), max_size=30),
+    st.integers(min_value=0, max_value=11),
+)
+def test_bfs_driver_matches_naive_relaxation(n, raw_edges, seed_i):
+    nodes = [f"n{i:02d}" for i in range(n)]
+    pairs = [(f"n{a % n:02d}", f"n{b % n:02d}") for a, b in raw_edges
+             if a % n != b % n]
+    seeds = [nodes[seed_i % n]]
+    got = graph._bfs_driver(seeds, pairs)
+    # naive Bellman-Ford-style relaxation to fixpoint
+    import math
+
+    d = {u: math.inf for u in nodes}
+    for s in seeds:
+        d[s] = 0
+    for _ in range(n + 1):
+        for a, b in pairs:
+            if d[a] + 1 < d[b]:
+                d[b] = d[a] + 1
+    want = {u: int(v) for u, v in d.items() if v < math.inf}
+    assert got == want
