@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue_forecast": relational.q6_revenue_forecast,
         "region_supplier_stats": relational.region_supplier_stats,
         "events_props_extract": relational.events_props_extract,
+        "events_running_total": relational.events_running_total,
+        "q1_rollup": relational.q1_rollup,
         # --- training-data ops: dedup ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -152,6 +154,8 @@ def oracle_sql() -> dict[str, str]:
         "q6_revenue_forecast": relational.Q6_SQL,
         "region_supplier_stats": relational.REGION_SUPPLIER_SQL,
         "events_props_extract": relational.EVENTS_PROPS_SQL,
+        "events_running_total": relational.EVENTS_RUNNING_SQL,
+        "q1_rollup": relational.Q1_ROLLUP_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_embedding_cosine": dedup.DEDUP_EMB_SQL,
         "ann_bruteforce_topk": ann.ANN_BRUTEFORCE_SQL,

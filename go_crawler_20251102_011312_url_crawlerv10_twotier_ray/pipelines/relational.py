@@ -866,3 +866,134 @@ SELECT event_type,
        CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# events_running_total: per-user ordered window cumsum (window function)
+# ---------------------------------------------------------------------------
+
+
+def events_running_total(sf_dir: str) -> pd.DataFrame:
+    """(event_id, user_id, running_cents): cumulative integer-cents sum per
+    user in (ts, event_id) order — the ranked-window-function shape
+    (sum OVER PARTITION BY ... ORDER BY ... ROWS UNBOUNDED PRECEDING).
+
+    Scale shape: the sessionize pattern — hash-co-partition by user (ONE
+    shuffle, bounded partition count), then ONE vectorized pass per
+    partition (sort + pandas C-level grouped cumsum). Cents are quantized
+    with the same floor(x*100 + 0.5) IEEE expression the SQL spells, so
+    the int64 running sums are bit-exact at any partitioning."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    n_part = _hash_partitions(ds.count())
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "part", pa.array((uid % n_part).astype(np.int64)))
+
+    def running_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.floor(
+            g["value"].to_numpy(dtype=np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        run = (
+            pd.Series(cents).groupby(
+                g["user_id"].to_numpy(), sort=False).cumsum()
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "user_id": g["user_id"].astype("int64").to_numpy(),
+                "running_cents": run.astype("int64").to_numpy(),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(running_part, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return out[["event_id", "user_id", "running_cents"]]
+
+
+EVENTS_RUNNING_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q1_rollup: GROUP BY ROLLUP (grouping-sets surface)
+# ---------------------------------------------------------------------------
+
+
+def q1_rollup(sf_dir: str) -> pd.DataFrame:
+    """Q1's scaled-integer sums with ROLLUP subtotals: one row per
+    (returnflag, linestatus), per returnflag ('ALL' linestatus), and a
+    grand total ('ALL', 'ALL').
+
+    Scale shape: ONE distributed partial+final aggregate produces the base
+    cells; every rollup level is then derived from that TINY result by
+    additivity (integer sums re-sum exactly) — no second pass over the
+    fact table, which is how grouping sets should execute at 100 TB."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_shipdate"])
+    cutoff = np.datetime64(Q1_CUTOFF, "us")
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_i": pa.array(np.rint(qty).astype(np.int64)),
+                "base_c": pa.array(np.rint(ext * 100).astype(np.int64)),
+            }
+        )
+
+    base = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_i", alias_name="sum_qty"),
+            Sum("base_c", alias_name="sum_base_c"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    cols = ["sum_qty", "sum_base_c", "count_order"]
+    lvl1 = base.groupby("l_returnflag", as_index=False)[cols].sum()
+    lvl1["l_linestatus"] = "ALL"
+    total = pd.DataFrame([base[cols].sum()])
+    total["l_returnflag"] = "ALL"
+    total["l_linestatus"] = "ALL"
+    out = pd.concat([base, lvl1, total], ignore_index=True)
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return (
+        out[["l_returnflag", "l_linestatus"] + cols]
+        .sort_values(["l_returnflag", "l_linestatus"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+Q1_ROLLUP_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)            AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       count(*)                                                          AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY 1, 2
+"""
