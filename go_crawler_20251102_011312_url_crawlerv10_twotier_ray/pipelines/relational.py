@@ -997,3 +997,76 @@ WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# customers_without_orders: distributed ANTI-JOIN on the relational surface
+# ---------------------------------------------------------------------------
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """(c_custkey, c_name, acctbal_cents) for customers with NO orders in
+    1995-H1 — the relational anti-join surface (the crawl engine's
+    seen-filter is the same shape fused into actors; this is the generic
+    Dataset form). The date slice keeps the check non-vacuous: every
+    customer in the synthetic data has SOME order, ~half sat out 1995-H1.
+
+    Scale shape: the orders side is date-filtered at the scan, collapsed
+    to DISTINCT custkeys (per-batch partial distinct, then one groupby —
+    far fewer rows into the join), then a native hash ``left_anti`` join;
+    both sides co-partitioned by the key, nothing broadcast or collected."""
+    from ._schema import heal_blocks
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    lo = np.datetime64("1995-01-01", "us")
+    hi = np.datetime64("1995-07-01", "us")
+
+    def distinct_part(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        return pa.table({"o_custkey": pc.unique(t.filter(m)["o_custkey"])})
+
+    okeys = (
+        orders.map_batches(distinct_part, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+        .select_columns(["o_custkey"])
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    # aggregate -> join edge: empty hash partitions emit zero-column blocks
+    # that poison the Acero join (pipelines/_schema.py)
+    okeys = heal_blocks(okeys) or okeys
+    n_part = _join_partitions(cust)
+    out = (
+        cust.join(okeys, join_type="left_anti", num_partitions=n_part,
+                  on=("c_custkey",))
+        .to_pandas()
+    )
+    if "c_acctbal" not in out.columns:   # all-matched => schema-less empty
+        return pd.DataFrame(
+            {"c_custkey": [], "c_name": [], "acctbal_cents": []}
+        ).astype({"c_custkey": "int64", "c_name": "object",
+                  "acctbal_cents": "int64"})
+    out["acctbal_cents"] = np.rint(
+        out["c_acctbal"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+    return (
+        out[["c_custkey", "c_name", "acctbal_cents"]]
+        .astype({"c_custkey": "int64"})
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= DATE '1995-01-01'
+    AND o.o_orderdate <  DATE '1995-07-01'
+)
+ORDER BY c_custkey
+"""
