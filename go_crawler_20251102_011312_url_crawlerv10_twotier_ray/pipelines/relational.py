@@ -1070,3 +1070,72 @@ WHERE NOT EXISTS (
 )
 ORDER BY c_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# q4_order_priority: EXISTS semi-join + grouped count (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    """(o_orderpriority, order_count) for 1995-Q3 orders having at least
+    one RETURNED lineitem (l_returnflag = 'R'; the synthetic lineitem has
+    no commit/receipt dates) — the TPC-H Q4 EXISTS semi-join shape,
+    executed as a native hash ``left_semi`` join.
+
+    Scale shape: the lineitem side collapses to DISTINCT qualifying orderkeys
+    inside map_batches (partial distinct + one groupby) before the join;
+    the final count groups the (small) surviving orders."""
+    from ._schema import heal_blocks
+
+    lo = np.datetime64("1995-07-01", "us")
+    hi = np.datetime64("1995-10-01", "us")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                                      "o_orderdate"])
+
+    def in_window(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        return t.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def late_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["l_returnflag"], pa.scalar("R"))
+        return pa.table(
+            {"o_orderkey": pc.unique(t.filter(m)["l_orderkey"])})
+
+    lk = (
+        line.map_batches(late_keys, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .count()
+        .select_columns(["o_orderkey"])
+    )
+    lk = heal_blocks(lk) or lk
+    n_part = _join_partitions(line)
+    out = (
+        orders.map_batches(in_window, batch_format="pyarrow")
+        .join(lk, join_type="left_semi", num_partitions=n_part,
+              on=("o_orderkey",))
+        .groupby("o_orderpriority")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "order_count"})
+    )
+    out["order_count"] = out["order_count"].astype("int64")
+    return (
+        out[["o_orderpriority", "order_count"]]
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1995-07-01' AND o.o_orderdate < DATE '1995-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
