@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_rollup": relational.q1_rollup,
         "customers_without_orders": relational.customers_without_orders,
         "q4_order_priority": relational.q4_order_priority,
+        "events_pivot": relational.events_pivot,
         # --- training-data ops: dedup ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_rollup": relational.Q1_ROLLUP_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "q4_order_priority": relational.Q4_SQL,
+        "events_pivot": relational.EVENTS_PIVOT_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_embedding_cosine": dedup.DEDUP_EMB_SQL,
         "ann_bruteforce_topk": ann.ANN_BRUTEFORCE_SQL,

@@ -1139,3 +1139,53 @@ WHERE o.o_orderdate >= DATE '1995-07-01' AND o.o_orderdate < DATE '1995-10-01'
                 AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# events_pivot: per-user event-type count matrix (PIVOT surface)
+# ---------------------------------------------------------------------------
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str) -> pd.DataFrame:
+    """(user_id, n_click, n_error, n_purchase, n_signup, n_view): the
+    PIVOT operator as pre-projected conditional aggregates — each batch
+    one-hot expands event_type into fixed count columns, then ONE
+    groupby-sum produces the pivoted matrix directly. No pivot-specific
+    shuffle: at 100 TB this is exactly one partial+final aggregate pass.
+    (The column set is a declared constant; discovering it would be one
+    tiny distinct scan first.)"""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def onehot(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        cols = {"user_id": t["user_id"]}
+        for ty in PIVOT_TYPES:
+            cols[f"n_{ty}"] = pc.cast(
+                pc.equal(et, pa.scalar(ty)), pa.int64())
+        return pa.table(cols)
+
+    out = (
+        ds.map_batches(onehot, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{ty}", alias_name=f"n_{ty}")
+                     for ty in PIVOT_TYPES])
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for ty in PIVOT_TYPES:
+        out[f"n_{ty}"] = out[f"n_{ty}"].astype("int64")
+    return out[["user_id"] + [f"n_{ty}" for ty in PIVOT_TYPES]]
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
