@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "q4_order_priority": relational.q4_order_priority,
         "events_pivot": relational.events_pivot,
+        "user_window_activity": relational.user_window_activity,
         # --- training-data ops: dedup ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "q4_order_priority": relational.Q4_SQL,
         "events_pivot": relational.EVENTS_PIVOT_SQL,
+        "user_window_activity": relational.USER_WINDOW_ACTIVITY_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_embedding_cosine": dedup.DEDUP_EMB_SQL,
         "ann_bruteforce_topk": ann.ANN_BRUTEFORCE_SQL,

@@ -1189,3 +1189,77 @@ SELECT user_id,
        CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# user_window_activity: FULL OUTER join of two window aggregates
+# ---------------------------------------------------------------------------
+
+ACTIVITY_W1 = ("2024-01-02 00:00:00", "2024-01-02 06:00:00")
+ACTIVITY_W2 = ("2024-01-05 00:00:00", "2024-01-05 06:00:00")
+
+
+def user_window_activity(sf_dir: str) -> pd.DataFrame:
+    """(user_id, n_w1, n_w2): per-user event counts in two disjoint time
+    windows, FULL OUTER joined — users active in only one window appear
+    with 0 on the other side (both one-sided classes are non-empty in the
+    synthetic data, so the outer semantics are actually exercised).
+
+    Scale shape: each window aggregates independently (filter at the
+    batch, partial+final count), then one hash full_outer join of the two
+    small per-user tables; missing sides become integer zeros (never NULL
+    keys — the driver's sort-based value hash chokes on mixed None)."""
+    from ._schema import heal_blocks
+
+    def window_counts(lo: str, hi: str, out_col: str) -> rd.Dataset:
+        lo64 = np.datetime64(lo.replace(" ", "T"), "us")
+        hi64 = np.datetime64(hi.replace(" ", "T"), "us")
+        ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+        def in_window(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(t["ts"], pa.scalar(lo64)),
+                        pc.less(t["ts"], pa.scalar(hi64)))
+            return t.filter(m).select(["user_id"])
+
+        agg = (
+            ds.map_batches(in_window, batch_format="pyarrow")
+            .groupby("user_id")
+            .count()
+            .rename_columns({"count()": out_col})
+        )
+        return heal_blocks(agg) or agg
+
+    w1 = window_counts(*ACTIVITY_W1, "n_w1")
+    w2 = window_counts(*ACTIVITY_W2, "n_w2").rename_columns(
+        {"user_id": "user_id_r"})
+    out = (
+        w1.join(w2, join_type="full_outer", num_partitions=4,
+                on=("user_id",), right_on=("user_id_r",))
+        .to_pandas()
+    )
+    for c in ("n_w1", "n_w2"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return (
+        out[["user_id", "n_w1", "n_w2"]]
+        .astype({"user_id": "int64"})
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+USER_WINDOW_ACTIVITY_SQL = f"""
+WITH w1 AS (
+  SELECT user_id, count(*) AS n_w1 FROM events
+  WHERE ts >= TIMESTAMP '{ACTIVITY_W1[0]}' AND ts < TIMESTAMP '{ACTIVITY_W1[1]}'
+  GROUP BY user_id
+), w2 AS (
+  SELECT user_id, count(*) AS n_w2 FROM events
+  WHERE ts >= TIMESTAMP '{ACTIVITY_W2[0]}' AND ts < TIMESTAMP '{ACTIVITY_W2[1]}'
+  GROUP BY user_id
+)
+SELECT COALESCE(w1.user_id, w2.user_id) AS user_id,
+       CAST(COALESCE(w1.n_w1, 0) AS BIGINT) AS n_w1,
+       CAST(COALESCE(w2.n_w2, 0) AS BIGINT) AS n_w2
+FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id
+ORDER BY user_id
+"""
