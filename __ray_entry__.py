@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": relational.q4_order_priority,
         "events_pivot": relational.events_pivot,
         "user_window_activity": relational.user_window_activity,
+        "distinct_kmv_sketch": relational.distinct_kmv_sketch,
         # --- training-data ops: dedup ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "q4_order_priority": relational.Q4_SQL,
         "events_pivot": relational.EVENTS_PIVOT_SQL,
         "user_window_activity": relational.USER_WINDOW_ACTIVITY_SQL,
+        "distinct_kmv_sketch": relational.DISTINCT_KMV_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_embedding_cosine": dedup.DEDUP_EMB_SQL,
         "ann_bruteforce_topk": ann.ANN_BRUTEFORCE_SQL,

@@ -16,6 +16,8 @@ against DuckDB is exact, not approximate.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1262,4 +1264,71 @@ SELECT COALESCE(w1.user_id, w2.user_id) AS user_id,
        CAST(COALESCE(w2.n_w2, 0) AS BIGINT) AS n_w2
 FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id
 ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct_kmv_sketch: mergeable distinct-count sketch (K-minimum-values)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_HASH_HEX = 12                 # 48-bit hash space
+KMV_SPACE = 1 << (4 * KMV_HASH_HEX)
+
+
+def distinct_kmv_sketch(sf_dir: str) -> pd.DataFrame:
+    """One-row (k, kth_min_h, est_distinct): a K-minimum-values distinct
+    sketch over lineitem.l_orderkey — the mergeable-sketch operator shape.
+    h(v) = first 12 hex digits of md5(str(v)) (48-bit, the same pinned
+    spec corpus_sample_stratified uses), the sketch is the K smallest
+    DISTINCT hash values, and est = (k-1)·2^48 // kth_min — all integer,
+    so the sketch AND the estimate are bit-stable against a relational
+    DuckDB oracle (accuracy itself is pytest-gated vs the exact count).
+
+    Scale shape: each batch emits its own ≤K minimum distinct hashes
+    (per-batch partial sketch — the mergeable property), the tiny partial
+    pool is deduplicated and bottom-K'd in one distributed sort+limit;
+    no full distinct shuffle of the key column ever happens."""
+    from ._schema import heal_blocks
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial_kmv(t: pa.Table) -> pa.Table:
+        vals = np.unique(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        hv = np.fromiter(
+            (int(hashlib.md5(str(int(v)).encode()).hexdigest()[:KMV_HASH_HEX],
+                 16) for v in vals),
+            dtype=np.int64, count=len(vals),
+        )
+        hv.sort()
+        return pa.table({"hv": pa.array(hv[:KMV_K])})
+
+    pool = ds.map_batches(partial_kmv, batch_format="pyarrow")
+    # dedup the partial pool (the same key can appear in many batches),
+    # then global bottom-K
+    dedup = pool.groupby("hv").count().select_columns(["hv"])
+    dedup = heal_blocks(dedup) or dedup
+    kmin = dedup.sort("hv").limit(KMV_K).to_pandas()["hv"]
+    k = int(len(kmin))
+    if k == 0:
+        return pd.DataFrame({"k": [0], "kth_min_h": [0], "est_distinct": [0]}
+                            ).astype("int64")
+    kth = int(kmin.max())
+    est = (k - 1) * KMV_SPACE // kth if kth > 0 else 0
+    return pd.DataFrame(
+        {"k": [k], "kth_min_h": [kth], "est_distinct": [est]}
+    ).astype("int64")
+
+
+DISTINCT_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT CAST(concat('0x',
+         substr(md5(CAST(l_orderkey AS VARCHAR)), 1, {KMV_HASH_HEX}))
+         AS BIGINT) AS hv
+  FROM lineitem
+), kmin AS (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K})
+SELECT CAST(count(*) AS BIGINT) AS k,
+       CAST(max(hv) AS BIGINT) AS kth_min_h,
+       CAST((count(*) - 1) * {KMV_SPACE} // max(hv) AS BIGINT) AS est_distinct
+FROM kmin
 """

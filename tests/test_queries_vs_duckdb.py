@@ -83,3 +83,20 @@ def test_entry_smoke():
     out = entrymod.entry()
     assert len(out) > 50
     assert {"url", "path", "text"}.issubset(out.columns)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_sketch_estimate_accuracy(con):
+    """The sketch is hash-checked above; this gates its QUALITY: the KMV
+    estimate must land within the ~1/sqrt(k) error band of the exact
+    distinct count (k=64 → σ≈12.5%; assert 3σ)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
+        relational,
+    )
+
+    est = int(entrymod.queries()["distinct_kmv_sketch"](SF_DIR)
+              ["est_distinct"].item())
+    exact = con.execute(
+        "SELECT count(DISTINCT l_orderkey) FROM lineitem").fetchone()[0]
+    assert exact > relational.KMV_K  # non-degenerate regime
+    assert abs(est - exact) / exact < 0.375, (est, exact)
