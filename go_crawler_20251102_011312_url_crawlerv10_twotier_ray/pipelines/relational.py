@@ -1292,6 +1292,13 @@ def distinct_kmv_sketch(sf_dir: str) -> pd.DataFrame:
     from ._schema import heal_blocks
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    if ds.count() == 0:
+        # an all-empty read never runs the partial (zero-row blocks skip
+        # map_batches) and the schema-less pool would crash the groupby —
+        # return the degenerate sketch directly
+        return pd.DataFrame(
+            {"k": [0], "kth_min_h": [0], "est_distinct": [0]}
+        ).astype("int64")
 
     def partial_kmv(t: pa.Table) -> pa.Table:
         vals = np.unique(t["l_orderkey"].to_numpy(zero_copy_only=False))

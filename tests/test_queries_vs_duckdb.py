@@ -100,3 +100,22 @@ def test_kmv_sketch_estimate_accuracy(con):
         "SELECT count(DISTINCT l_orderkey) FROM lineitem").fetchone()[0]
     assert exact > relational.KMV_K  # non-degenerate regime
     assert abs(est - exact) / exact < 0.375, (est, exact)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_sketch_empty_input(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
+        relational,
+    )
+
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([], pa.int64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = relational.distinct_kmv_sketch(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"k": 0, "kth_min_h": 0, "est_distinct": 0}
+    ]
