@@ -816,7 +816,9 @@ def events_props_extract(sf_dir: str) -> pd.DataFrame:
     engine) specialized to the column's fixed object shape — the
     simdjson-style "raw-filter then parse" pattern; no per-row
     json.loads. n_events counts every row; sum/min/max skip rows where
-    the key is absent, matching SQL NULL semantics. Per-batch partial
+    the key is absent, matching SQL NULL semantics (tested on a fixture
+    with missing keys; a type with NO k anywhere raises loudly rather
+    than faking a 0 where SQL would return NULL). Per-batch partial
     combine, then a tiny groupby over (event_types × batches) rows."""
     ds = _read(sf_dir, "events", ["event_type", "props"])
 
@@ -833,18 +835,18 @@ def events_props_extract(sf_dir: str) -> pd.DataFrame:
         out = pd.DataFrame(
             {
                 "n": g.size(),
-                "s": g.sum(),
-                "mn": g.min(),
-                "mx": g.max(),
-            }
+                "s": g.sum(),    # NaN-skipping; 0.0 for an all-missing batch
+                "mn": g.min(),   # NaN for an all-missing batch — stays float
+                "mx": g.max(),   # in the partial so the FINAL min/max can
+            }                    # still skip it (SQL NULL-skip semantics)
         ).reset_index()
         return pa.table(
             {
                 "event_type": pa.array(out["event_type"], pa.string()),
                 "n": pa.array(out["n"].astype("int64"), pa.int64()),
                 "s": pa.array(out["s"].astype("int64"), pa.int64()),
-                "mn": pa.array(out["mn"].astype("int64"), pa.int64()),
-                "mx": pa.array(out["mx"].astype("int64"), pa.int64()),
+                "mn": pa.array(out["mn"], pa.float64()),
+                "mx": pa.array(out["mx"], pa.float64()),
             }
         )
 
@@ -1235,7 +1237,8 @@ def user_window_activity(sf_dir: str) -> pd.DataFrame:
     w2 = window_counts(*ACTIVITY_W2, "n_w2").rename_columns(
         {"user_id": "user_id_r"})
     out = (
-        w1.join(w2, join_type="full_outer", num_partitions=4,
+        w1.join(w2, join_type="full_outer",
+                num_partitions=_join_partitions(_read(sf_dir, "events")),
                 on=("user_id",), right_on=("user_id_r",))
         .to_pandas()
     )

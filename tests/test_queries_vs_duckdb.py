@@ -119,3 +119,46 @@ def test_kmv_sketch_empty_input(tmp_path):
     assert out.to_dict("records") == [
         {"k": 0, "kth_min_h": 0, "est_distinct": 0}
     ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_props_extract_null_semantics(tmp_path):
+    """Rows whose props lack the key must be counted in n_events but
+    skipped by sum/min/max — exactly SQL NULL semantics (the main corpus
+    always carries the key, so this fixture is the non-vacuous check)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
+        relational,
+    )
+
+    rows = [
+        ("click", '{"k": 5}'), ("click", '{"x": 1}'), ("click", '{"k": -3}'),
+        ("view", '{}'), ("view", '{"k": 7}'),
+        ("error", '{"k": 0}'),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "props": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = relational.events_props_extract(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(relational.EVENTS_PROPS_SQL).df().astype(
+        {"n_events": "int64", "sum_k": "int64",
+         "min_k": "int64", "max_k": "int64"}
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    assert got.loc[got.event_type == "click", "n_events"].item() == 3
+    assert got.loc[got.event_type == "click", "sum_k"].item() == 2
+    assert got.loc[got.event_type == "click", "min_k"].item() == -3
