@@ -312,6 +312,9 @@ def section_queries() -> dict:
         ("lang_length_quantiles", text.lang_length_quantiles),
         ("knn_classify", ann.knn_classify),
         ("link_pagerank", graph.link_pagerank),
+        ("events_pivot", relational.events_pivot),
+        ("customers_without_orders", relational.customers_without_orders),
+        ("distinct_kmv_sketch", relational.distinct_kmv_sketch),
     ]:
         # best-of-2: all-to-all query timings swing with page-cache/plasma
         # state; min is the achievable-time estimate
