@@ -50,3 +50,17 @@ def write_jsonl(ds: rd.Dataset, out_dir: str) -> None:
     """Partitioned JSONL output (one file per block — resumable layout,
     never one giant file)."""
     ds.write_json(out_dir)
+
+
+def read_csv_table(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """CSV source (Ray's native arrow CSV reader — vectorized per block)."""
+    ds = rd.read_csv(path)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def write_csv(ds: rd.Dataset, out_dir: str) -> None:
+    """Partitioned CSV output (one file per block, same resumable layout
+    as the JSONL and parquet sinks)."""
+    ds.write_csv(out_dir)

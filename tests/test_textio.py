@@ -83,3 +83,24 @@ def test_jsonl_source_feeds_a_pipeline(tmp_path):
         from_jsonl, from_parquet.sort_values("doc_id").reset_index(drop=True),
         check_dtype=True,
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_csv_roundtrip_documents(tmp_path):
+    import ray.data as rd
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    out = str(tmp_path / "docs_csv")
+    textio.write_csv(rd.from_pandas(docs), out)
+    files = os.listdir(out)
+    assert files and all(f.endswith(".csv") for f in files)
+    back = (
+        textio.read_csv_table(out, columns=list(docs.columns))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        back, docs.sort_values("doc_id").reset_index(drop=True),
+        check_dtype=True,
+    )
