@@ -55,7 +55,21 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering matters: the round-3 driver artifact recorded exactly the
+    # FIRST 50 registered queries, silently dropping the tail.  Entries
+    # with no prior CORRECTNESS row therefore come first so a capped run
+    # still certifies them; the long-green crawl/relational families sit
+    # at positions where a 50-entry cap costs the least new evidence.
     return {
+        # --- never-yet-driver-checked (r3 artifact cap) + r4 upgrades ---
+        "repetition_scores": text.repetition_scores,
+        "top_ngrams": text.top_ngrams,
+        "corpus_curation": text.corpus_curation,
+        "corpus_sample_stratified": text.corpus_sample_stratified,
+        "tfidf_top_terms": text.tfidf_top_terms,
+        "lang_length_quantiles": text.lang_length_quantiles,
+        "ann_lsh_topk": ann.ann_lsh_topk,
+        "ann_ivf_topk": ann.ann_ivf_topk,
         # --- crawl engine (synthetic Common-Crawl-shaped corpus) ---
         "crawl_extract_text": cq.crawl_extract_text,
         "crawl_router_split": cq.crawl_router_split,
@@ -95,10 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine_query,
         "dedup_winnow_pairs": dedup.dedup_winnow_pairs,
         "dedup_clusters": dedup.dedup_clusters,
-        # --- similarity search ---
+        # --- similarity search (lsh/ivf registered at the top) ---
         "ann_bruteforce_topk": ann.ann_bruteforce_topk,
-        "ann_lsh_topk": ann.ann_lsh_topk,
-        "ann_ivf_topk": ann.ann_ivf_topk,
         "knn_classify": ann.knn_classify,
         # --- link-graph analytics ---
         "link_pagerank": graph.link_pagerank,
@@ -112,12 +124,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnowing": text.doc_winnowing,
         "lang_id": text.lang_id,
         "lang_distribution": text.lang_distribution,
-        "repetition_scores": text.repetition_scores,
-        "top_ngrams": text.top_ngrams,
-        "corpus_curation": text.corpus_curation,
-        "corpus_sample_stratified": text.corpus_sample_stratified,
-        "tfidf_top_terms": text.tfidf_top_terms,
-        "lang_length_quantiles": text.lang_length_quantiles,
     }
 
 

@@ -19,6 +19,33 @@ def md5_hex(texts: list[str]) -> list[str]:
     return [hashlib.md5(t.encode()).hexdigest() for t in texts]
 
 
+def md5_hex_arrow(col) -> list[str]:
+    """md5 hex per row straight off the Arrow string buffers (utf-8, same
+    bytes ``str.encode()`` would produce) — no per-row Python str
+    materialization / encode allocation. Nulls hash as the empty string."""
+    import pyarrow as pa
+
+    arr = col if isinstance(col, pa.ChunkedArray) else pa.chunked_array([col])
+    out: list[str] = []
+    for chunk in arr.chunks:
+        if len(chunk) == 0:
+            continue
+        if chunk.null_count:
+            chunk = chunk.fill_null("")
+        width = np.int64 if pa.types.is_large_string(chunk.type) else np.int32
+        bufs = chunk.buffers()
+        offsets = np.frombuffer(
+            bufs[1], dtype=width, count=len(chunk) + 1,
+            offset=chunk.offset * np.dtype(width).itemsize,
+        )
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        out.extend(
+            hashlib.md5(data[offsets[i]:offsets[i + 1]]).hexdigest()
+            for i in range(len(chunk))
+        )
+    return out
+
+
 def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.uint64)

@@ -50,6 +50,21 @@ def read_parquet_bounded(path: str, columns=None, factor: int = 3,
     )
 
 
+def auto_pool(lo: int = 2, frac: float = 0.5,
+              cap: int = 32) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized off the session CPU count.
+    Model-bearing stages must never pin a fixed tiny pool — the reference
+    scales its bottleneck tier 100→800 workers on queue pressure
+    (monitor.go:57-107); the Ray analogue is ``concurrency=(lo, hi)``
+    so the pool grows with the cluster instead of starving at 2 actors."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    hi = max(lo + 2, min(cap, int(cpus * frac)))
+    return (lo, hi)
+
+
 def heal_blocks(ds: rd.Dataset, target_blocks: int = 200) -> rd.Dataset | None:
     """Make every block non-empty and typed so the Dataset can safely
     feed a join: materialize, then repartition to ≤ row-count blocks ONLY

@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ._schema import auto_pool as _auto_pool
+
 FEATURE_DIM = 16
 
 MEDIA_SCHEMA = pa.schema(
@@ -131,9 +133,11 @@ class DecodeAndFeaturize:
         )
 
 
-def media_features(corpus_dir: str, concurrency: int = 2) -> pd.DataFrame:
+def media_features(corpus_dir: str, concurrency=None) -> pd.DataFrame:
     """Decode/featurize every payload in a corpus pages table. Actor pool +
-    small batches (wide binary rows)."""
+    small batches (wide binary rows). Default concurrency is an
+    autoscaling (2, cpus//2) pool — decode is the bottleneck tier at
+    scale and must not pin to a fixed pool size (monitor.go:57-107)."""
     from ..sources.pages import read_pages
 
     ds = read_pages(corpus_dir, columns=["url", "html"])
@@ -142,7 +146,7 @@ def media_features(corpus_dir: str, concurrency: int = 2) -> pd.DataFrame:
             DecodeAndFeaturize,
             batch_format="pyarrow",
             batch_size=32,          # binary rows are wide — keep batches small
-            concurrency=concurrency,
+            concurrency=concurrency or _auto_pool(),
         )
         .to_pandas()
         .sort_values("url")
@@ -226,26 +230,26 @@ class FrameSample:
         )
 
 
-def media_resize(corpus_dir: str, concurrency: int = 2) -> pd.DataFrame:
+def media_resize(corpus_dir: str, concurrency=None) -> pd.DataFrame:
     from ..sources.pages import read_pages
 
     return (
         read_pages(corpus_dir, columns=["url", "html"])
         .map_batches(ResizeToBox, batch_format="pyarrow", batch_size=32,
-                     concurrency=concurrency)
+                     concurrency=concurrency or _auto_pool())
         .to_pandas()
         .sort_values("url")
         .reset_index(drop=True)
     )
 
 
-def media_frame_sample(corpus_dir: str, concurrency: int = 2) -> pd.DataFrame:
+def media_frame_sample(corpus_dir: str, concurrency=None) -> pd.DataFrame:
     from ..sources.pages import read_pages
 
     return (
         read_pages(corpus_dir, columns=["url", "html"])
         .map_batches(FrameSample, batch_format="pyarrow", batch_size=32,
-                     concurrency=concurrency)
+                     concurrency=concurrency or _auto_pool())
         .to_pandas()
         .sort_values(["url", "frame_idx"])
         .reset_index(drop=True)

@@ -248,9 +248,11 @@ class LangId:
 
 
 def lang_id(sf_dir: str) -> pd.DataFrame:
+    from ._schema import auto_pool
+
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
     return (
-        ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(LangId, batch_format="pyarrow", concurrency=auto_pool())
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -474,13 +476,12 @@ class _CurationSignals:
             // np.maximum(n_tokens.to_numpy(), 1)
         )
         preds, _ = self.langid.predict(s)
+        from ..functions.hashing import md5_hex_arrow
+
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "h": pa.array(
-                    [hashlib.md5(x.encode()).hexdigest() for x in s],
-                    pa.string(),
-                ),
+                "h": pa.array(md5_hex_arrow(t["text"]), pa.string()),
                 "n_tokens": pa.array(n_tokens, pa.int64()),
                 "mean_tok_len_c": pa.array(mean_tok_len_c, pa.int64()),
                 "top_word_frac_bp": pa.array(top_bp, pa.int64()),
@@ -495,13 +496,14 @@ def _curation_decisions(sf_dir: str) -> rd.Dataset | None:
     an empty corpus."""
     from ray.data.aggregate import Min
 
-    from ._schema import heal_blocks
+    from ._schema import auto_pool, heal_blocks
 
     # heal: empty read splits leave schema-less blocks that poison the
     # sig⋈winners join below (pipelines/_schema.py)
     sig = heal_blocks(
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(_CurationSignals, batch_format="pyarrow", concurrency=2)
+        .map_batches(_CurationSignals, batch_format="pyarrow",
+                     concurrency=auto_pool())
     )
     if sig is None:
         return None
