@@ -131,18 +131,21 @@ def oracle_sql() -> dict[str, str]:
     # the crawl oracles read the synthetic corpus via read_parquet: make
     # sure it exists even if the driver runs SQL before the Ray queries
     # (generation is pure Python — no Ray session needed). The text-op
-    # oracles likewise mint pinned-reference expected outputs as parquet
-    # (oracle/textops.py); only the probabilistic LSH queries
-    # (dedup_minhash_lsh, ann_lsh_topk) stay rows-only — pytest recall
-    # tests gate those.
+    # and ANN oracles likewise mint pinned-reference expected outputs as
+    # parquet (oracle/textops.py, oracle/annops.py) — since r4 every
+    # registered query has an oracle entry (zero rows-only); recall
+    # QUALITY for the approximate ANN paths stays pytest-gated.
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.oracle import (
+        annops,
         textops,
     )
 
     cq.corpus_for("/root/testdata/sf0.01")
     text_oracles = textops.oracle_sqls("/root/testdata/sf0.01")
+    ann_oracles = annops.oracle_sqls("/root/testdata/sf0.01")
     return {
         **text_oracles,
+        **ann_oracles,
         "crawl_extract_text": cq.CRAWL_EXTRACT_TEXT_SQL,
         "crawl_router_split": cq.CRAWL_ROUTER_SPLIT_SQL,
         "crawl_link_stats": cq.CRAWL_LINK_STATS_SQL,

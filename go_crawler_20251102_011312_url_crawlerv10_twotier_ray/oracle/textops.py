@@ -10,10 +10,9 @@ functions/hashing.py): same mathematical definition, different code path.
 A divergence between engine and this module is a bug, not drift — do not
 "sync" them mechanically.
 
-Two operators stay rows-only by design: dedup_minhash_lsh and
-ann_lsh_topk are probabilistic (LSH recall < 1), so no deterministic
-oracle can equal their output; their quality is gated by pytest recall
-tests instead.
+(The ANN queries have the same treatment in oracle/annops.py — since
+round 4 every registered query is hash-checked; LSH/IVF recall QUALITY
+remains pytest-gated.)
 """
 
 from __future__ import annotations

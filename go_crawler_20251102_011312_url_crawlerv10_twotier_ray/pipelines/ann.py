@@ -6,14 +6,28 @@
   tiny partials. SQL-checkable against DuckDB ``list_cosine_similarity``.
 - ``ann_lsh_topk``: a scale path — random-hyperplane LSH buckets
   (signed projections → bucket id), candidates only from matching buckets
-  (multi-probe over all query buckets), exact re-rank of candidates.
-  Approximate by construction → rows-only check + recall test in pytest.
+  (multi-probe over all query buckets), re-rank of candidates. Since r4
+  the WHOLE pipeline runs on the pinned integer-quantized spec below, so
+  the output is bit-deterministic and value-hash-checked against the
+  naive reference in ``oracle/annops.py``; quality (recall vs brute
+  force) is still pytest-gated.
 - ``ann_ivf_topk``: the other standard scale path — IVF coarse
   quantization: deterministic spherical k-means centroids trained on a
   BOUNDED sample (never the full corpus), every vector assigned to its
   nearest centroid inside ``map_batches``, queries probe only their
-  ``nprobe`` nearest cells, exact re-rank on the probed cells. Approximate
-  → rows-only check + recall test in pytest.
+  ``nprobe`` nearest cells, re-rank on the probed cells. Same pinned
+  integer spec → hash-checked + recall-gated.
+
+Pinned quantization spec (shared with oracle/annops.py — transcribed
+there in plain Python; float ranks are never bit-stable, so every ranked
+quantity here is an exact integer, CLAUDE.md "quantize first"):
+  q_i  = floor(float64(x_i) * 1e4 + 0.5)          (exact int)
+  n    = Σ q_i²                                   (exact int)
+  qn_i = floor(q_i * 1e6 / sqrt(n) + 0.5)         (IEEE sqrt/div — two
+         correctly-rounded elementwise ops, deterministic on any IEEE-754
+         platform; n == 0 → qn = 0)
+  score(a, b) = Σ qn_a,i·qn_b,i  — |qn| ≤ ~1e6, dim 64 → |score| ≤
+         ~6.4e13 < 2^53, so float64 (BLAS) matmul IS exact int arithmetic.
 - ``knn_classify``: exact all-vectors k-NN majority-vote classification
   over QUANTIZED-INTEGER squared-L2 distances — unlike cosine ranks,
   every comparison is exact int64 arithmetic, so the result is bit-stable
@@ -41,6 +55,27 @@ LSH_TABLES = 6
 LSH_PLANES = 6
 LSH_SEED = 777
 
+# pinned quantization constants (see module docstring; transcribed in
+# oracle/annops.py — bump ANN_ORACLE_VERSION there when these change)
+QNT_COMP_SCALE = 10_000
+QNT_NORM_SCALE = 1_000_000
+PLANE_SCALE = 1_000_000
+
+
+def quantize_unit(m: np.ndarray) -> np.ndarray:
+    """Two-stage integer quantization of an (n, dim) float64 matrix per
+    the pinned spec: component quantize → exact integer norm → normalized
+    re-quantize. Returns integer-VALUED float64 (so downstream matmuls
+    stay in BLAS); every value and every downstream dot product is exact
+    (guarded)."""
+    q = np.floor(m * QNT_COMP_SCALE + 0.5)
+    _check_exact(q)
+    n = (q * q).sum(axis=1)  # every partial sum < 2^53 → exact any order
+    s = np.sqrt(n)
+    s[s == 0] = 1.0
+    qn = np.floor(q * QNT_NORM_SCALE / s[:, None] + 0.5)
+    _check_exact(qn)
+    return qn
 
 
 def _emb_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -124,6 +159,26 @@ def _final_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
     return out[["query_id", "vec_id", "rank"]].reset_index(drop=True)
 
 
+_TOPK_INT_COLS = {"query_id": "int64", "vec_id": "int64",
+                  "rank": "int64", "iscore": "int64"}
+
+
+def _final_topk_int(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Merge integer-scored partials: global (query, -iscore, vec_id)
+    order → head k → rank. All comparisons are exact ints, so the result
+    is identical however the batches were split."""
+    if not len(partials):
+        return pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in _TOPK_INT_COLS.items()})
+    partials = partials.sort_values(
+        ["query_id", "iscore", "vec_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out = partials.groupby("query_id", as_index=False).head(k).copy()
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype("int64")
+    return out[list(_TOPK_INT_COLS)].reset_index(drop=True)
+
+
 def ann_bruteforce_topk(sf_dir: str) -> pd.DataFrame:
     """Exact top-5 cosine neighbors for each query vector (vec_id < 10).
     Returns (query_id, vec_id, rank) — ranks only, so the value-hash
@@ -159,39 +214,60 @@ ORDER BY query_id, rank
 
 
 def _lsh_tables(dim: int) -> np.ndarray:
-    """(L, dim, b) deterministic hyperplane tables."""
+    """(L, dim, b) deterministic hyperplane tables, QUANTIZED to integers
+    (floor(g·1e6 + 0.5)) so the signed projections against quantized
+    vectors are exact int comparisons — the bucket structure becomes a
+    pure function of (seed, dim), reproducible by the naive oracle."""
     rng = np.random.RandomState(LSH_SEED)
-    return rng.standard_normal((LSH_TABLES, dim, LSH_PLANES))
+    g = rng.standard_normal((LSH_TABLES, dim, LSH_PLANES))
+    return np.floor(g * PLANE_SCALE + 0.5)
 
 
-def _bucket_ids(mn: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    """(n, L) bucket id per vector per table."""
+def _bucket_ids(qn: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, L) bucket id per quantized vector per table: bit = (qn·h > 0).
+    |qn·h| ≤ dim · 1e6 · ~5e6 ≈ 3.4e14 < 2^53 → the matmul is exact, the
+    sign test is an integer comparison."""
     L, _, b = planes.shape
     weights = 1 << np.arange(b, dtype=np.uint32)
-    out = np.empty((mn.shape[0], L), dtype=np.uint32)
+    out = np.empty((qn.shape[0], L), dtype=np.uint32)
     for li in range(L):
-        sig = (mn @ planes[li] > 0).astype(np.uint32)
+        sig = (qn @ planes[li] > 0).astype(np.uint32)
         out[:, li] = sig @ weights
     return out
+
+
+def _query_qn(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(query ids, quantized query matrix) per the pinned spec."""
+    q = (
+        _emb(sf_dir)
+        .filter(expr=f"vec_id < {N_QUERIES}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    ids = q["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    return ids, quantize_unit(mat)
 
 
 def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH with Hamming-1
     multi-probe. Candidates = vectors sharing a bucket (or a 1-bit
-    neighbor bucket) with the query in ANY table; exact re-rank on the
-    candidates only. Returns the same (query_id, vec_id, rank) shape as
-    the brute-force baseline; recall@5-vs-bruteforce is pytest-gated."""
-    ids, qmat = _query_matrix(sf_dir)
-    dim = qmat.shape[1]
+    neighbor bucket) with the query in ANY table; re-rank on the
+    candidates only by the exact integer score (ties → smaller vec_id).
+    Returns (query_id, vec_id, rank, iscore) — bit-deterministic, so the
+    driver value-hash-checks it against oracle/annops.py's naive
+    reimplementation; recall@5-vs-bruteforce stays pytest-gated."""
+    ids, qqn = _query_qn(sf_dir)
+    dim = qqn.shape[1]
     planes = _lsh_tables(dim)
-    qb = _bucket_ids(qmat, planes)  # (n_q, L)
+    qb = _bucket_ids(qqn, planes)  # (n_q, L)
     # probe sets: own bucket + every Hamming-1 neighbor, per table
     flips = 1 << np.arange(LSH_PLANES, dtype=np.uint32)
     # (n_q, L, b+1)
     probes = np.concatenate(
         [qb[:, :, None], qb[:, :, None] ^ flips[None, None, :]], axis=2
     )
-    ref = ray.put((ids, qmat, planes, probes))
+    ref = ray.put((ids, qqn, planes, probes))
 
     class BucketMatch:
         def __init__(self, r):
@@ -200,12 +276,10 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
         def __call__(self, t: pa.Table) -> pa.Table:
             from ..stages.fetch import cached_broadcast
 
-            qids, qm, pl, prb = cached_broadcast(self.ref)
+            qids, qq, pl, prb = cached_broadcast(self.ref)
             vids, m = _emb_rows(t)
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            mn = m / norms[:, None]
-            buckets = _bucket_ids(mn, pl)  # (n, L)
+            qn = quantize_unit(m)
+            buckets = _bucket_ids(qn, pl)  # (n, L)
             out_q, out_v, out_s = [], [], []
             for j, qid in enumerate(qids):
                 hit = np.zeros(len(vids), dtype=bool)
@@ -214,17 +288,17 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
                 hit &= vids != qid
                 if not hit.any():
                     continue
-                sims = mn[hit] @ qm[j]
+                iscores = qn[hit] @ qq[j]  # exact integers
                 cids = vids[hit]
-                order = np.lexsort((cids, -sims))[: TOP_K]
+                order = np.lexsort((cids, -iscores))[: TOP_K]
                 out_q.extend([qid] * len(order))
                 out_v.extend(cids[order].tolist())
-                out_s.extend(sims[order].tolist())
+                out_s.extend(iscores[order].astype(np.int64).tolist())
             return pa.table(
                 {
                     "query_id": pa.array(out_q, pa.int64()),
                     "vec_id": pa.array(out_v, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
+                    "iscore": pa.array(out_s, pa.int64()),
                 }
             )
 
@@ -233,11 +307,7 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
         .map_batches(BucketMatch(ref), batch_format="pyarrow", batch_size=512)
         .to_pandas()
     )
-    if not len(partials):
-        return pd.DataFrame(
-            {"query_id": [], "vec_id": [], "rank": []}
-        ).astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
-    return _final_topk(partials, TOP_K)
+    return _final_topk_int(partials, TOP_K)
 
 
 # ---------------------------------------------------------------------------
@@ -253,30 +323,42 @@ IVF_KMEANS_ITERS = 10
 IVF_TRAIN_SAMPLE = 100_000  # centroid training reads at most this many rows
 
 
-def _normalize(m: np.ndarray) -> np.ndarray:
-    n = np.linalg.norm(m, axis=1)
-    n[n == 0] = 1.0
-    return m / n[:, None]
-
-
 def _train_centroids(sf_dir: str) -> np.ndarray:
-    """Deterministic spherical k-means on a BOUNDED sample — at 100 TB the
-    training set stays IVF_TRAIN_SAMPLE rows; only the (nlist × dim)
-    centroid matrix is ever broadcast."""
-    sample = _emb(sf_dir).limit(IVF_TRAIN_SAMPLE).to_pandas()
-    mn = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    """Deterministic INTEGER spherical k-means on a BOUNDED sample — at
+    100 TB the training set stays IVF_TRAIN_SAMPLE rows (pinned as
+    ``vec_id < IVF_TRAIN_SAMPLE`` so the sample is read-order-free); only
+    the (nlist × dim) centroid matrix is ever broadcast.
+
+    Every step is on the pinned spec (oracle/annops.py transcribes it):
+    train rows are quantized (ordered by vec_id), assignment is argmax of
+    exact integer dots (ties → lowest cell), the cell mean is re-quantized
+    via Σ(members)·1e6/sqrt(Σs²) with Σs² an exact Python int (it can
+    exceed 2^53) — so the centroids are integer-valued and bit-stable."""
+    import math
+
+    sample = (
+        _emb(sf_dir)
+        .filter(expr=f"vec_id < {IVF_TRAIN_SAMPLE}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qn = quantize_unit(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64))
     rng = np.random.RandomState(IVF_SEED)
-    k = min(IVF_NLIST, len(mn))
-    cent = mn[rng.choice(len(mn), size=k, replace=False)].copy()
+    k = min(IVF_NLIST, len(qn))
+    cent = qn[rng.choice(len(qn), size=k, replace=False)].copy()
     for _ in range(IVF_KMEANS_ITERS):
-        assign = (mn @ cent.T).argmax(axis=1)
+        assign = (qn @ cent.T).argmax(axis=1)  # exact; first max on ties
         for c in range(k):
             mask = assign == c
-            if mask.any():
-                v = mn[mask].sum(axis=0)
-                nv = np.linalg.norm(v)
-                if nv > 0:
-                    cent[c] = v / nv
+            if not mask.any():
+                continue  # empty cell keeps its previous centroid
+            s = qn[mask].sum(axis=0)  # exact: ≤ 1e6·1e5 rows < 2^53
+            n2 = sum(int(v) ** 2 for v in s)  # may exceed 2^53 → python int
+            if n2 == 0:
+                continue
+            sq = math.sqrt(n2)  # float(n2) correctly rounded → IEEE sqrt
+            cent[c] = np.floor(s * QNT_NORM_SCALE / sq + 0.5)
     return cent
 
 
@@ -284,14 +366,17 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     """Approximate top-k via IVF: assign every vector to its nearest
     centroid inside map_batches (one matmul per batch against the broadcast
     (nlist × dim) centroids), keep only vectors whose cell is among a
-    query's nprobe nearest cells, exact re-rank. Same (query_id, vec_id,
-    rank) shape as the brute-force baseline; recall is pytest-gated."""
-    ids, qmat = _query_matrix(sf_dir)
+    query's nprobe nearest cells, re-rank by exact integer score. Returns
+    (query_id, vec_id, rank, iscore) — bit-deterministic on the pinned
+    quantization spec, value-hash-checked vs oracle/annops.py; recall is
+    pytest-gated."""
+    ids, qqn = _query_qn(sf_dir)
     cent = _train_centroids(sf_dir)
     nprobe = min(IVF_NPROBE, len(cent))
-    # (n_q, nprobe) cell ids per query
-    qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
-    ref = ray.put((ids, qmat, cent, qcells))
+    # (n_q, nprobe) cell ids per query: highest integer dot, ties → lower
+    # cell id (stable argsort of the negated exact scores)
+    qcells = np.argsort(-(qqn @ cent.T), axis=1, kind="stable")[:, :nprobe]
+    ref = ray.put((ids, qqn, cent, qcells))
 
     class CellMatch:
         def __init__(self, r):
@@ -300,26 +385,26 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
         def __call__(self, t: pa.Table) -> pa.Table:
             from ..stages.fetch import cached_broadcast
 
-            qids, qm, ct, qc = cached_broadcast(self.ref)
+            qids, qq, ct, qc = cached_broadcast(self.ref)
             vids, m = _emb_rows(t)
-            mn = _normalize(m)
-            cells = (mn @ ct.T).argmax(axis=1)  # (n,)
+            qn = quantize_unit(m)
+            cells = (qn @ ct.T).argmax(axis=1)  # exact; first max on ties
             out_q, out_v, out_s = [], [], []
             for j, qid in enumerate(qids):
                 hit = np.isin(cells, qc[j]) & (vids != qid)
                 if not hit.any():
                     continue
-                sims = mn[hit] @ qm[j]
+                iscores = qn[hit] @ qq[j]  # exact integers
                 cids = vids[hit]
-                order = np.lexsort((cids, -sims))[:TOP_K]
+                order = np.lexsort((cids, -iscores))[:TOP_K]
                 out_q.extend([qid] * len(order))
                 out_v.extend(cids[order].tolist())
-                out_s.extend(sims[order].tolist())
+                out_s.extend(iscores[order].astype(np.int64).tolist())
             return pa.table(
                 {
                     "query_id": pa.array(out_q, pa.int64()),
                     "vec_id": pa.array(out_v, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
+                    "iscore": pa.array(out_s, pa.int64()),
                 }
             )
 
@@ -328,11 +413,7 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
         .map_batches(CellMatch(ref), batch_format="pyarrow", batch_size=512)
         .to_pandas()
     )
-    if not len(partials):
-        return pd.DataFrame(
-            {"query_id": [], "vec_id": [], "rank": []}
-        ).astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
-    return _final_topk(partials, TOP_K)
+    return _final_topk_int(partials, TOP_K)
 
 
 # ---------------------------------------------------------------------------
