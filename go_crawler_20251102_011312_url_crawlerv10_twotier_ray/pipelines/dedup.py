@@ -120,32 +120,68 @@ class MinHashSignatures:
 _EMPTY_PAIRS = {"doc_a": "int64", "doc_b": "int64", "jaccard_pct": "int64"}
 
 
-def _emit_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Distributed pair-gen: all (a < b) pairs within ONE colliding band
-    bucket (called per group from groupby(band).map_groups)."""
-    ids = sorted(set(g["doc_id"]))
-    if len(ids) < 2 or len(ids) > 200:  # skip degenerate giant buckets
-        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
-            {"doc_a": "int64", "doc_b": "int64"})
-    return pd.DataFrame(
-        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
-        columns=["doc_a", "doc_b"],
-    ).astype({"doc_a": "int64", "doc_b": "int64"})
+_PAIR_BUCKET_CAP = 200  # skip degenerate giant buckets (boilerplate bands)
+
+
+def _pairs_in_partition(g: pd.DataFrame, key: str, id_col: str,
+                        out_a: str, out_b: str, cap: int) -> pd.DataFrame:
+    """All (a < b) within-bucket pairs for EVERY bucket in one hash
+    partition, fully vectorized (no per-bucket Python — the sessionize
+    co-partition pattern, relational.py; called per PARTITION from
+    groupby(part).map_groups after a hash(key)-mod part column is stamped
+    in map_batches). CLAUDE.md: never map_groups per key at scale — with
+    millions of hot buckets this is one numpy pass instead of one
+    interpreter call per bucket."""
+    empty = pd.DataFrame({out_a: [], out_b: []}).astype(
+        {out_a: "int64", out_b: "int64"})
+    g = g[[key, id_col]].drop_duplicates().sort_values(
+        [key, id_col], kind="mergesort")
+    sizes = g.groupby(key, sort=False)[id_col].transform("size")
+    g = g[(sizes > 1) & (sizes <= cap)]
+    if not len(g):
+        return empty
+    band = g[key].to_numpy()
+    ids = g[id_col].to_numpy(dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, band[1:] != band[:-1]])
+    counts = np.diff(np.r_[starts, len(band)])
+    pos = np.arange(len(band)) - np.repeat(starts, counts)
+    n_after = np.repeat(counts, counts) - pos - 1
+    a_idx = np.repeat(np.arange(len(band)), n_after)
+    cum = np.concatenate([[0], np.cumsum(n_after)])
+    offset = np.arange(cum[-1]) - np.repeat(cum[:-1], n_after) + 1
+    b_idx = a_idx + offset
+    return pd.DataFrame({out_a: ids[a_idx], out_b: ids[b_idx]})
+
+
+def _emit_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+    return _pairs_in_partition(g, "band", "doc_id", "doc_a", "doc_b",
+                               _PAIR_BUCKET_CAP)
+
+
+def _emit_vec_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+    return _pairs_in_partition(g, "bucket", "vec_id", "vec_a", "vec_b",
+                               _EMB_BUCKET_CAP)
+
+
+def _stamp_band_part(n_part: int, col: str = "band"):
+    """map_batches fn adding ``part = mix(key) % n_part`` — the
+    co-partition key for the vectorized pair-gen (splitmix-style odd
+    multiplier so low-entropy band values still spread)."""
+
+    def stamp(t: pa.Table) -> pa.Table:
+        band = t[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((band * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(n_part)
+        return t.append_column("part", pa.array(part.astype(np.int64)))
+
+    return stamp
 
 
 def _pairs_from_collisions(coll: pd.DataFrame) -> pd.DataFrame:
-    """Unique candidate (doc_a, doc_b) pairs from collision rows."""
-    pairs = []
-    for _, g in coll.groupby("band"):
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2 or len(ids) > 200:  # skip degenerate giant buckets
-            continue
-        pairs.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
-    return (
-        pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
-        .drop_duplicates()
-        .astype({"doc_a": "int64", "doc_b": "int64"})
-    )
+    """Unique candidate (doc_a, doc_b) pairs from collision rows (driver
+    tail) — the same vectorized kernel the distributed partitions run."""
+    return _emit_pairs_partition(coll).drop_duplicates().reset_index(
+        drop=True)
 
 
 def _packed_shingles_ds(sf_dir: str, need_ref) -> "rd.Dataset":
@@ -217,8 +253,8 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     - driver tail (small inputs): band table (16 B/row) → value_counts →
       pair-gen → verify against worker-computed packed shingle sets.
     - distributed tail (the 100 TB path): band-count shuffle → hot bands
-      broadcast → collision rows (≪ corpus) only: groupby(band).map_groups
-      pair-gen, pair-dedup groupby, exact-Jaccard verify via Dataset.join
+      broadcast → collision rows (≪ corpus) only: hash(band)-co-partitioned
+      vectorized pair-gen, pair-dedup groupby, exact-Jaccard verify via Dataset.join
       against a (doc_id, packed shingles) table of candidate docs.
     Not SQL-expressible → rows-only driver check; pytest covers semantics
     on planted near-duplicates for BOTH modes."""
@@ -278,8 +314,14 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
 
     coll = sigs.map_batches(keep_hot, batch_format="pyarrow")
 
+    # co-partition by hash(band): ONE vectorized pair-gen call per
+    # partition (never per band); cross-partition duplicate pairs are
+    # collapsed by the (doc_a, doc_b) groupby that follows
+    n_pairgen = max(4, min(1024, int(hot["n"].sum()) // 250_000 + 1))
     cand = (
-        coll.groupby("band").map_groups(_emit_pairs_group, batch_format="pandas")
+        coll.map_batches(_stamp_band_part(n_pairgen), batch_format="pyarrow")
+        .groupby("part").map_groups(_emit_pairs_partition,
+                                    batch_format="pandas")
         .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
         .drop_columns(["n_bands"])
         .materialize()
@@ -414,7 +456,7 @@ def dedup_simhash(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     Same size-adaptive tail as dedup_minhash_lsh, keyed on the
     (doc, band) row count: driver tail below MINHASH_SMALL_LIMIT (the band
     table is 16 B/row and the sig table 16 B/doc), distributed tail above
-    (hot-band count shuffle → groupby(band).map_groups pair-gen → verify
+    (hot-band count shuffle → co-partitioned vectorized pair-gen → verify
     via two signature joins — signatures, never texts, move)."""
     import pyarrow.compute as pc
 
@@ -470,9 +512,12 @@ def dedup_simhash(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
 
         return t.filter(pc.is_in(t["band"], value_set=cached_broadcast(hot_ref)))
 
+    n_pairgen = max(4, min(1024, int(hot["n"].sum()) // 250_000 + 1))
     cand = (
         band_ds.map_batches(keep_hot, batch_format="pyarrow")
-        .groupby("band").map_groups(_emit_pairs_group, batch_format="pandas")
+        .map_batches(_stamp_band_part(n_pairgen), batch_format="pyarrow")
+        .groupby("part").map_groups(_emit_pairs_partition,
+                                    batch_format="pandas")
         .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
         .drop_columns(["n_bands"])
         .materialize()
@@ -633,19 +678,6 @@ def _emb_bucket_rows(t: pa.Table) -> pa.Table:
     )
 
 
-def _emit_vec_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Distributed pair-gen for ONE colliding bucket (vec twin of
-    _emit_pairs_group; called per group from groupby(bucket).map_groups)."""
-    ids = sorted(set(g["vec_id"]))
-    if len(ids) < 2 or len(ids) > _EMB_BUCKET_CAP:
-        return pd.DataFrame({"vec_a": [], "vec_b": []}).astype(
-            {"vec_a": "int64", "vec_b": "int64"})
-    return pd.DataFrame(
-        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
-        columns=["vec_a", "vec_b"],
-    ).astype({"vec_a": "int64", "vec_b": "int64"})
-
-
 def _packed_vecs_ds(ds: rd.Dataset, need_ref) -> rd.Dataset:
     """(vec_id, byte-packed normalized float64 vector) for the broadcast id
     set — packed because hash joins don't take list payloads; computed
@@ -703,7 +735,7 @@ def _emb_cosine_lsh(ds: rd.Dataset, threshold: float,
     - driver tail (small inputs): bucket table → value_counts → pair-gen
       → verify against a driver-fetched candidate matrix;
     - distributed tail (the 100 TB path): hot-bucket count shuffle →
-      collision rows only → groupby(bucket).map_groups pair-gen →
+      collision rows only → co-partitioned vectorized pair-gen →
       pair-dedup groupby → exact cosine verify via two ``Dataset.join``s
       against a (vec_id, packed normalized vector) table — the full
       bucket table and the candidate vectors never land on the driver.
@@ -721,13 +753,7 @@ def _emb_cosine_lsh(ds: rd.Dataset, threshold: float,
         sdf = sigs.to_pandas()
         vc = sdf["bucket"].value_counts()
         coll = sdf[sdf["bucket"].isin(vc[vc > 1].index)]
-        pairs = []
-        for _, g in coll.groupby("bucket"):
-            ids = sorted(set(g["vec_id"]))
-            if len(ids) < 2 or len(ids) > _EMB_BUCKET_CAP:
-                continue
-            pairs.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
-        cand = pd.DataFrame(pairs, columns=["vec_a", "vec_b"]).drop_duplicates()
+        cand = _emit_vec_pairs_partition(coll).drop_duplicates()
         if not len(cand):
             return pd.DataFrame(columns=list(_EMPTY_EMB)).astype(_EMPTY_EMB)
 
@@ -778,10 +804,13 @@ def _emb_cosine_lsh(ds: rd.Dataset, threshold: float,
         return t.filter(
             pc.is_in(t["bucket"], value_set=cached_broadcast(hot_ref)))
 
+    n_pairgen = max(4, min(1024, int(hot["n"].sum()) // 250_000 + 1))
     cand_ds = (
         sigs.map_batches(keep_hot, batch_format="pyarrow")
-        .groupby("bucket").map_groups(_emit_vec_pairs_group,
-                                      batch_format="pandas")
+        .map_batches(_stamp_band_part(n_pairgen, col="bucket"),
+                     batch_format="pyarrow")
+        .groupby("part").map_groups(_emit_vec_pairs_partition,
+                                    batch_format="pandas")
         .groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="n_buckets"))
         .drop_columns(["n_buckets"])
         .materialize()

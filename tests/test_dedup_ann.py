@@ -490,3 +490,38 @@ def test_knn_classify_tiny_and_degenerate(tmp_path):
     assert got.loc[got.vec_id == 0, "pred_label"].item() == 5  # {5,9} → 5
     assert got.loc[got.vec_id == 1, "pred_label"].item() == 3  # {3,9} → 3
     assert got.loc[got.vec_id == 2, "pred_label"].item() == 3  # {3,5} → 3
+
+
+def test_pairs_in_partition_matches_naive_loop():
+    """The vectorized within-bucket pair kernel equals the per-bucket
+    reference loop on a randomized multi-band frame (incl. dup (band, id)
+    rows, singleton bands, and an over-cap band)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        _pairs_in_partition,
+    )
+
+    rng = np.random.RandomState(7)
+    band = rng.randint(0, 40, size=600)
+    doc = rng.randint(0, 120, size=600)
+    big = np.full(30, 99)  # one band pushed over a cap of 25
+    df = pd.DataFrame({
+        "band": np.concatenate([band, big]),
+        "doc_id": np.concatenate([doc, np.arange(30) + 1000]),
+    })
+    got = (
+        _pairs_in_partition(df, "band", "doc_id", "doc_a", "doc_b", 25)
+        .drop_duplicates()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pairs = set()
+    for _, g in df.groupby("band"):
+        ids = sorted(set(g["doc_id"]))
+        if len(ids) < 2 or len(ids) > 25:
+            continue
+        pairs.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
+    want = (
+        pd.DataFrame(sorted(pairs), columns=["doc_a", "doc_b"])
+        .astype({"doc_a": "int64", "doc_b": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)
