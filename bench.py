@@ -318,12 +318,26 @@ def section_queries() -> dict:
     ]:
         # best-of-2: all-to-all query timings swing with page-cache/plasma
         # state; min is the achievable-time estimate
+        if name == "link_pagerank":
+            # derive-once cost: wipe the persisted parquet AND the session
+            # cache so this row is the full extraction + distinct + join +
+            # persist price a corpus pays exactly once per spec version
+            import shutil
+
+            from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.crawl_queries import (  # noqa: E501
+                corpus_for,
+            )
+            gdir = graph._derived_graph_dir(corpus_for(SF_DIR))
+            shutil.rmtree(gdir, ignore_errors=True)
+            graph._GRAPH_CACHE.clear()
+            t0 = time.perf_counter()
+            fn(SF_DIR)
+            queries["link_graph_derive"] = round(time.perf_counter() - t0, 3)
         trials = []
         for _ in range(2):
             if name == "link_pagerank":
-                # the graph queries share a per-corpus edge-table cache;
-                # clear it per trial so this row reports the honest COLD
-                # cost (extraction + distinct + join + rank)
+                # clear only the SESSION cache: this row is the warm query
+                # a fresh session pays, reading the persisted graph parquet
                 graph._GRAPH_CACHE.clear()
             t0 = time.perf_counter()
             fn(SF_DIR)

@@ -49,6 +49,10 @@ PR_ITERS = 10
 PR_SMALL_LIMIT = 2_000_000   # distinct edge rows: driver below, distributed above
 GRAPH_ORACLE_ROOT = "/tmp/graft_graphoracle"
 GRAPH_ORACLE_VERSION = "v2"   # v2: + seeds.parquet (link_bfs_depth)
+# persisted engine-derived graph: bump when the extraction/normalization
+# spec changes (RouteAndExtract kernels or normalize_url) — same pinning
+# discipline as GRAPH_ORACLE_VERSION, but for the ENGINE side
+GRAPH_DERIVE_VERSION = "v1"
 
 
 # ---------------------------------------------------------------------------
@@ -60,6 +64,57 @@ GRAPH_ORACLE_VERSION = "v2"   # v2: + seeds.parquet (link_bfs_depth)
 # extraction over the whole corpus is the expensive part (same pattern as
 # crawl_queries._CRAWL_CACHE; at most one corpus cached)
 _GRAPH_CACHE: dict[str, tuple] = {}
+
+
+def _derived_graph_dir(cdir: str) -> str:
+    """On-disk home of the persisted (nodes, edges) parquet for a corpus."""
+    return os.path.join(cdir, f"derived_graph-{GRAPH_DERIVE_VERSION}")
+
+
+def _load_derived_graph(cdir: str):
+    """(nodes, edges, n_nodes) from the persisted parquet, or None if no
+    complete (_SUCCESS-stamped) derivation exists for this spec version."""
+    import json
+
+    from ._schema import read_parquet_bounded
+
+    gdir = _derived_graph_dir(cdir)
+    if not os.path.exists(os.path.join(gdir, "_SUCCESS")):
+        return None
+    with open(os.path.join(gdir, "meta.json")) as f:
+        n_nodes = int(json.load(f)["n_nodes"])
+    nodes = read_parquet_bounded(
+        os.path.join(gdir, "nodes"), columns=["node"]).materialize()
+    edges = read_parquet_bounded(
+        os.path.join(gdir, "edges"), columns=["src", "dst"]).materialize()
+    return nodes, edges, n_nodes
+
+
+def _persist_derived_graph(cdir: str, nodes: rd.Dataset,
+                           edges: rd.Dataset, n_nodes: int) -> None:
+    """Write the derived graph next to the corpus so a FRESH session never
+    repays full-corpus extraction (6.8 s cold vs sub-second warm at sf0.1).
+    _SUCCESS is written LAST inside a tmp dir that is renamed into place —
+    a killed run leaves either nothing or a complete stamp, never a
+    half-written dir a later session would trust."""
+    import json
+    import shutil
+
+    if n_nodes == 0 or edges.count() == 0:
+        return  # an empty parquet read-back would be zero-column (unusable)
+    gdir = _derived_graph_dir(cdir)
+    tmp = f"{gdir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        nodes.write_parquet(os.path.join(tmp, "nodes"))
+        edges.write_parquet(os.path.join(tmp, "edges"))
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump({"n_nodes": n_nodes}, f)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        shutil.rmtree(gdir, ignore_errors=True)
+        os.rename(tmp, gdir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner keeps gdir
 
 
 def _edge_tables(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset, int]:
@@ -76,6 +131,11 @@ def _edge_tables(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset, int]:
     cdir = corpus_for(sf_dir)
     if cdir in _GRAPH_CACHE:
         return _GRAPH_CACHE[cdir]
+    loaded = _load_derived_graph(cdir)
+    if loaded is not None:
+        _GRAPH_CACHE.clear()
+        _GRAPH_CACHE[cdir] = loaded
+        return loaded
     cfg = CrawlConfig()
 
     def node_batch(t: pa.Table) -> pa.Table:
@@ -138,6 +198,7 @@ def _edge_tables(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset, int]:
     edges = heal_blocks(edges) or edges
     nodes = nodes.materialize()
     edges = edges.materialize()
+    _persist_derived_graph(cdir, nodes, edges, n_nodes)
     _GRAPH_CACHE.clear()
     _GRAPH_CACHE[cdir] = (nodes, edges, n_nodes)
     return nodes, edges, n_nodes

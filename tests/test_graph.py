@@ -214,3 +214,24 @@ def test_bfs_driver_matches_naive_relaxation(n, raw_edges, seed_i):
                 d[b] = d[a] + 1
     want = {u: int(v) for u, v in d.items() if v < math.inf}
     assert got == want
+
+
+def test_persisted_graph_equals_fresh_derive():
+    """A fresh session reading the persisted derived-graph parquet must
+    rank identically to a full re-derivation (and the _SUCCESS stamp must
+    exist after a derive)."""
+    import shutil
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.crawl_queries import (
+        corpus_for,
+    )
+
+    gdir = graph._derived_graph_dir(corpus_for(SF))
+    shutil.rmtree(gdir, ignore_errors=True)
+    graph._GRAPH_CACHE.clear()
+    fresh = graph.link_pagerank(SF)
+    assert os.path.exists(os.path.join(gdir, "_SUCCESS"))
+    graph._GRAPH_CACHE.clear()  # force the parquet load path
+    warm = graph.link_pagerank(SF)
+    pd.testing.assert_frame_equal(
+        fresh.reset_index(drop=True), warm.reset_index(drop=True))
