@@ -226,11 +226,14 @@ def _section_steady(fetch_mode: str) -> dict:
     return out
 
 
-def section_ckpt_steady() -> dict:
+def section_ckpt_steady(leg: str = "ckpt") -> dict:
     """Checkpoint overhead for the 100 TB resumable mode: the SAME
-    dataset-frontier steady epoch twice in one fresh session — without and
-    with ``checkpoint_dir`` (per-epoch distributed frontier parquet +
-    meta.json). The delta prices what a resumable run costs per epoch."""
+    dataset-frontier steady epoch with and without ``checkpoint_dir``
+    (per-epoch distributed frontier parquet + meta.json). Each leg runs in
+    its OWN fresh subprocess — r4 profiling showed repeated run_crawl
+    calls in one session drift 2-6× (actor setup/teardown aging, not
+    engine work), so a same-session A/B ordered plain-then-ckpt reported a
+    phantom 40% checkpoint tax; the direct phase tick is ~0.15 s/epoch."""
     import shutil
     import tempfile
 
@@ -258,22 +261,19 @@ def section_ckpt_steady() -> dict:
                   seeds=all_urls, max_epochs=1, collect=False)
         return round(time.perf_counter() - t0, 3)
 
-    # best-of-2 per leg: the overhead delta is smaller than single-run
-    # noise on this box, so each leg gets the min of two trials
-    plain = min(one(None) for _ in range(2))
-    ck_trials = []
-    for _ in range(2):
-        ck = tempfile.mkdtemp(prefix="graft_ckpt_bench_")
-        try:
-            ck_trials.append(one(ck))
-        finally:
-            shutil.rmtree(ck, ignore_errors=True)
-    with_ck = min(ck_trials)
-    out = {
-        "queries": {"crawl_ckpt_steady": with_ck},
-        "ckpt_plain_sec": plain,
-        "ckpt_overhead_pct": round(100.0 * (with_ck - plain) / plain, 1),
-    }
+    # best-of-2 within the leg's fresh session (the 2nd run of a fresh
+    # session is the stable one; later runs drift up)
+    if leg == "plain":
+        out = {"queries": {}, "ckpt_plain_sec": min(one(None) for _ in range(2))}
+    else:
+        ck_trials = []
+        for _ in range(2):
+            ck = tempfile.mkdtemp(prefix="graft_ckpt_bench_")
+            try:
+                ck_trials.append(one(ck))
+            finally:
+                shutil.rmtree(ck, ignore_errors=True)
+        out = {"queries": {"crawl_ckpt_steady": min(ck_trials)}}
     ray.shutdown()
     return out
 
@@ -352,7 +352,8 @@ SECTIONS = {
     "crawl": section_crawl,
     "join_steady": lambda: _section_steady("join"),
     "scan_steady": lambda: _section_steady("scan"),
-    "ckpt_steady": section_ckpt_steady,
+    "ckpt_plain": lambda: section_ckpt_steady("plain"),
+    "ckpt_steady": lambda: section_ckpt_steady("ckpt"),
     "queries": section_queries,
 }
 
@@ -363,8 +364,8 @@ def run_bench() -> dict:
     _bench_corpus()
     queries: dict[str, float] = {}
     extra: dict = {}
-    for name in ("crawl", "join_steady", "scan_steady", "ckpt_steady",
-                 "queries"):
+    for name in ("crawl", "join_steady", "scan_steady", "ckpt_plain",
+                 "ckpt_steady", "queries"):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--section", name],
             capture_output=True, text=True,
@@ -376,6 +377,10 @@ def run_bench() -> dict:
         queries.update(part.pop("queries"))
         extra.update(part)
 
+    if "ckpt_plain_sec" in extra and "crawl_ckpt_steady" in queries:
+        plain = extra["ckpt_plain_sec"]
+        extra["ckpt_overhead_pct"] = round(
+            100.0 * (queries["crawl_ckpt_steady"] - plain) / plain, 1)
     total = round(sum(queries.values()), 3)
     return {
         "metric": METRIC,

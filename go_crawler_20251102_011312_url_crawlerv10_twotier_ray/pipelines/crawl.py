@@ -37,6 +37,8 @@ Determinism (matches oracle/crawl_sim.py — the shared spec):
 from __future__ import annotations
 
 import os
+import sys
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -950,6 +952,15 @@ def _run_crawl_dataset_frontier(
 
     import pyarrow.compute as pc
 
+    debug = bool(os.environ.get("GRAFT_CRAWL_DEBUG"))
+
+    def _tick(label, t0):
+        if debug:
+            t1 = time.perf_counter()
+            print(f"  [ds-epoch] {label}: {t1 - t0:.2f}s", file=sys.stderr)
+            return t1
+        return t0
+
     pages_path = os.path.join(corpus_dir, "pages")
     n_shards = cfg.seen_shards
     if n_shards <= 0:
@@ -1002,6 +1013,7 @@ def _run_crawl_dataset_frontier(
             # parity: a resumed run asked for N epochs does N more)
             if max_epochs is not None and epoch - start_epoch >= max_epochs:
                 break
+            _t = time.perf_counter()
             deferred_ds = None
             deferred_count = 0
             fetched = None
@@ -1064,6 +1076,7 @@ def _run_crawl_dataset_frontier(
                     MarkRevisitsInTask(seed_ref, winners_ref),
                     batch_format="pyarrow",
                 )
+                _t = _tick("schedule+revisits", _t)
                 epoch_token = f"{uuid.uuid4().hex[:8]}-{epoch}"
                 if mode == "broadcast":
                     fetched = sched_ds.map_batches(
@@ -1126,6 +1139,7 @@ def _run_crawl_dataset_frontier(
                         batch_size=cfg.extract_batch_size,
                     ).materialize()
 
+            _t = _tick("fetch+extract+offer", _t)
             if fetched is not None and extracted_sink:
                 # resumable output: one parquet directory per epoch,
                 # written distributed (extracted rows never pass through
@@ -1157,12 +1171,14 @@ def _run_crawl_dataset_frontier(
             scheduled_total += epoch_sched
             offers_expected += epoch_offers
             doc_offers_expected += epoch_doc_offers
+            _t = _tick("stat-counts", _t)
             wait_offers_received(seen.handles(), "norm", offers_expected)
             wait_offers_received(seen.handles(), "doc", doc_offers_expected)
             drain_refs = [
                 sh.drain_epoch_table.remote("norm") for sh in seen.handles()
             ]
             new_tasks = _doc_drain_to_tasks(seen.drain("doc"))
+            _t = _tick("fence+drain-submit", _t)
 
             # downloads (the SHARED deterministic lane — _download_lane)
             dl_tbl, pending_retry, n_new_docs = _download_lane(
@@ -1170,6 +1186,7 @@ def _run_crawl_dataset_frontier(
                 pages_path, epoch,
             )
             dl_acc.append(dl_tbl)
+            _t = _tick("downloads", _t)
 
             # next frontier: drain tables → Dataset, key split in tasks
             surv_ds = rd.from_arrow_refs(drain_refs).map_batches(
@@ -1187,6 +1204,7 @@ def _run_crawl_dataset_frontier(
             else:
                 frontier_ds = surv_ds
             frontier_count = n_new + deferred_count
+            _t = _tick("frontier-assemble", _t)
 
             if metrics is not None:
                 n_dl_ok = int(pa.compute.sum(dl_tbl["ok"]).as_py() or 0)
@@ -1216,6 +1234,7 @@ def _run_crawl_dataset_frontier(
                         "frontier_count": frontier_count,
                     },
                 )
+            _t = _tick("checkpoint", _t)
             epoch += 1
     finally:
         seen.kill()
