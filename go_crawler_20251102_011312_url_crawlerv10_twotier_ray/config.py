@@ -57,6 +57,12 @@ class CrawlConfig:
     # holds the corpus), or "auto" (broadcast below broadcast_row_limit,
     # else join)
     fetch_mode: str = "auto"
+    # join-mode body access: "local" (keys-first — frontier keys shuffle
+    # into the corpus' persistent hash-bucket layout, each task reads its
+    # bucket's parquet locally; bodies NEVER ride the exchange) or
+    # "shuffle" (legacy Dataset.join — the whole corpus re-exchanges every
+    # epoch). Equality-tested twins; "local" is the 100 TB default.
+    join_strategy: str = "local"
     # above this many corpus rows, "auto" switches broadcast -> join
     broadcast_row_limit: int = 2_000_000
     # record the (epoch, rank, url) golden ordering trace (costs a sort)

@@ -396,6 +396,63 @@ def add_fetch_key(batch: pa.Table) -> pa.Table:
     return batch.append_column("fetch_key", pa.array(fks, pa.string()))
 
 
+class LocalBucketJoin:
+    """Keys-first locality join (fetch_mode="join", join_strategy="local"):
+    called once per BUCKET group after the frontier (keys + metadata only —
+    never bodies) shuffles into the corpus' persistent hash-bucket layout
+    (sources/pages.bucketed_pages). The task reads its own bucket's parquet
+    file, attaches html by dict lookup (left-outer: misses → null → 404 in
+    ExtractJoined), and runs the shared extract+offer kernel in place.
+
+    vs the shuffle join: page bodies never ride the all-to-all exchange —
+    at 100 TB the exchange moves only the per-epoch frontier keys, and
+    buckets no frontier row hashes into are never read at all."""
+
+    def __init__(self, bucket_root: str, cfg: CrawlConfig,
+                 seen_handles: list, robots_disallow: dict | None = None,
+                 epoch_token: str = ""):
+        self.root = bucket_root
+        self.inner = ExtractJoined(cfg, seen_handles, robots_disallow,
+                                   epoch_token)
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        if g.num_rows == 0:
+            return FETCHED_SCHEMA.empty_table()
+        b = g["bucket"][0].as_py()
+        g = g.drop_columns(["bucket"])
+        d = os.path.join(self.root, f"bucket={b}")
+        idx: dict = {}
+        html_col = None
+        if os.path.isdir(d):
+            pages = pq.read_table(d, columns=["url", "html"])
+            idx = {u: i for i, u in enumerate(pages["url"].to_pylist())}
+            html_col = pages["html"].combine_chunks()
+        keys = g["fetch_key"].to_pylist()
+        hit_rows = [i for i, k in enumerate(keys) if k in idx]
+        miss_rows = [i for i, k in enumerate(keys) if k not in idx]
+        parts = []
+        if hit_rows:
+            gh = g.take(pa.array(hit_rows, pa.int64()))
+            gh = gh.append_column(
+                "html",
+                html_col.take(
+                    pa.array([idx[keys[i]] for i in hit_rows], pa.int64())),
+            )
+            parts.append(self.inner(gh))
+        if miss_rows:
+            gm = g.take(pa.array(miss_rows, pa.int64()))
+            gm = gm.append_column(
+                "html", pa.nulls(len(miss_rows), pa.binary()))
+            parts.append(self.inner(gm))
+        if not parts:
+            return FETCHED_SCHEMA.empty_table()
+        return pa.concat_tables(parts, promote_options="default")
+
+
 class ExtractJoined:
     """Join-mode stage 2: after the left-outer corpus join, turn the
     (nullable) html column into statuses, extract, and offer candidates."""

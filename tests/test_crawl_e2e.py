@@ -542,3 +542,38 @@ def test_checkpoint_resume(tiny_corpus_dir, tmp_path):
     rtext = dict(zip(resumed.extracted["url"].to_pylist(),
                      resumed.extracted["text"].to_pylist()))
     assert ftext == rtext
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_join_shuffle_strategy(tiny_corpus_dir):
+    """The legacy shuffle join (whole corpus re-exchanged) must equal the
+    oracle too — it is the equality twin of the default local bucket
+    join."""
+    cfg = CrawlConfig(fetch_mode="join", join_strategy="shuffle")
+    o = crawl_sim.crawl(load_corpus_dict(tiny_corpus_dir),
+                        _seeds(tiny_corpus_dir), CrawlConfig())
+    e = run_crawl(tiny_corpus_dir, cfg)
+    assert_matches_oracle(e, o)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dataset_frontier_join_local(tiny_corpus_dir):
+    """Keys-first locality join in the dataset-frontier loop (the 100 TB
+    both-sides-huge shape): counters must equal the broadcast-mode run."""
+    base = run_crawl(
+        tiny_corpus_dir,
+        CrawlConfig(record_order=False, frontier_mode="dataset"),
+        collect=False,
+    )
+    local = run_crawl(
+        tiny_corpus_dir,
+        CrawlConfig(record_order=False, frontier_mode="dataset",
+                    fetch_mode="join", join_strategy="local"),
+        collect=False,
+    )
+    assert local.n_epochs == base.n_epochs
+    assert local.pages_fetched == base.pages_fetched
+    assert (local.counters["scheduled_total"]
+            == base.counters["scheduled_total"])
+    assert local.downloads.sort_by("url").equals(
+        base.downloads.sort_by("url"))
