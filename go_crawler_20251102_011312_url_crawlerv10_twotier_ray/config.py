@@ -65,6 +65,17 @@ class CrawlConfig:
     join_strategy: str = "local"
     # above this many corpus rows, "auto" switches broadcast -> join
     broadcast_row_limit: int = 2_000_000
+    # ---- real-network fetch (fetch_mode="http") ----
+    # The live analogue of the parquet-corpus modes (reference:
+    # crawler/crawler_twotier.go:52-80 colly collector; downloader.go:
+    # 184-222 http.Get). The client is built ONCE per fetch actor
+    # (stages/fetch.default_http_client); tests inject a loopback-server
+    # factory since this sandbox has no external network.
+    http_timeout_s: float = 10.0
+    http_user_agent: str = "graft-crawler/1.0"
+    # pluggable factory: cfg -> (url -> (status, body|None)); None uses
+    # the urllib default client
+    http_client_factory: object = None
     # record the (epoch, rank, url) golden ordering trace (costs a sort)
     record_order: bool = True
     # frontier rows above which scheduling (sort + per-host budget) runs as

@@ -55,6 +55,7 @@ from ..stages.fetch import (
     FETCHED_SCHEMA,
     ExtractJoined,
     FetchAndExtract,
+    HttpFetch,
     ScanFetch,
     add_fetch_key,
 )
@@ -356,6 +357,40 @@ class DownloadSim:
         )
 
 
+class DownloadHttp:
+    """fetch_mode="http" download lane: one real GET per attempt
+    (downloader.go:184-222). ok iff HTTP 200; bytes is the (capped) body
+    length — the engine records sizes rather than writing files, matching
+    DownloadSim's contract. Stateful actor: client built once per actor."""
+
+    def __init__(self, cfg: CrawlConfig):
+        from ..stages.fetch import default_http_client
+
+        self.cfg = cfg
+        factory = cfg.http_client_factory or default_http_client
+        self.fetch = factory(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        got = [self.fetch(u) for u in urls]
+        oks = [s == 200 and b is not None for s, b in got]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "depth": batch["depth"],
+                "attempt": batch["attempt"],
+                "ok": pa.array(oks, pa.bool_()),
+                "bytes": pa.array(
+                    [len(b) if ok else 0 for ok, (_, b) in zip(oks, got)],
+                    pa.int64(),
+                ),
+                "filename": pa.array(
+                    [extract_filename(u) for u in urls], pa.string()
+                ),
+            }
+        )
+
+
 def run_crawl(
     corpus_dir: str,
     cfg: CrawlConfig | None = None,
@@ -616,6 +651,19 @@ def run_crawl(
                                     robots_disallow, epoch_token),
                     batch_format="pyarrow",
                     batch_size=cfg.extract_batch_size,
+                )
+            elif mode == "http":
+                # live network: autoscaling actor pool, client built once
+                # per actor (stages/fetch.HttpFetch)
+                from ._schema import auto_pool
+
+                fetched = sched_ds.map_batches(
+                    HttpFetch,
+                    fn_constructor_args=(cfg, seen.handles(),
+                                         robots_disallow, epoch_token),
+                    batch_format="pyarrow",
+                    batch_size=cfg.extract_batch_size,
+                    concurrency=auto_pool(),
                 )
             elif mode == "scan":
                 # corpus scan + broadcast frontier index: bodies never
@@ -1122,6 +1170,17 @@ def _run_crawl_dataset_frontier(
                         batch_format="pyarrow",
                         batch_size=cfg.extract_batch_size,
                     ).materialize()
+                elif mode == "http":
+                    from ._schema import auto_pool
+
+                    fetched = sched_ds.map_batches(
+                        HttpFetch,
+                        fn_constructor_args=(cfg, seen.handles(),
+                                             robots_disallow, epoch_token),
+                        batch_format="pyarrow",
+                        batch_size=cfg.extract_batch_size,
+                        concurrency=auto_pool(),
+                    ).materialize()
                 elif mode == "scan":
                     # corpus scan + frontier broadcast FROM BLOCK REFS (the
                     # scheduled set never touches the driver); misses get a
@@ -1517,6 +1576,18 @@ def _download_lane(new_tasks, pending_retry, cfg, mode, corpus_ref,
             dl_out = _collect(
                 d_ds.map_batches(
                     DownloadSim(cfg, corpus_ref), batch_format="pyarrow",
+                )
+            )
+        elif mode == "http":
+            from ._schema import auto_pool
+
+            d_ds = rd.from_arrow(d_tbl)
+            if d_tbl.num_rows > 16384:
+                d_ds = d_ds.repartition(max(2, d_tbl.num_rows // 8192))
+            dl_out = _collect(
+                d_ds.map_batches(
+                    DownloadHttp, fn_constructor_args=(cfg,),
+                    batch_format="pyarrow", concurrency=auto_pool(),
                 )
             )
         else:

@@ -396,6 +396,79 @@ def add_fetch_key(batch: pa.Table) -> pa.Table:
     return batch.append_column("fetch_key", pa.array(fks, pa.string()))
 
 
+def default_http_client(cfg: CrawlConfig):
+    """Real-network HTTP client (reference: crawler_twotier.go:52-80 colly
+    collector; downloader.go:184-222 http.Get): ``fetch(url) -> (status,
+    body | None)``. Built once per fetch ACTOR so the opener and headers
+    are reused across batches like colly's pinned clients. Non-2xx and
+    transport failures return no body; connection-level errors map to
+    status 0 (they have no HTTP status)."""
+    import urllib.error
+    import urllib.request
+
+    opener = urllib.request.build_opener()
+    opener.addheaders = [("User-Agent", cfg.http_user_agent)]
+
+    def fetch(url: str):
+        try:
+            with opener.open(url, timeout=cfg.http_timeout_s) as r:
+                # colly caps via a limited reader: oversized bodies are
+                # TRUNCATED at the cap, not dropped (crawler_twotier.go:57)
+                return (r.status or 200), r.read(cfg.max_body_bytes)
+        except urllib.error.HTTPError as e:
+            return e.code, None
+        except Exception:
+            return 0, None
+
+    return fetch
+
+
+class HttpFetch:
+    """fetch_mode="http": fused fetch+extract+offer over live HTTP — the
+    real-network twin of FetchAndExtract (which reads the parquet corpus).
+    STATEFUL actor stage: the HTTP client is built once per actor in
+    __init__ (cfg.http_client_factory pluggable; tests route through a
+    loopback corpus server), batches of frontier URLs stream through
+    __call__. Network I/O is latency-bound, so the stage runs as an
+    autoscaling actor pool rather than stateless tasks."""
+
+    def __init__(self, cfg: CrawlConfig, seen_handles: list,
+                 robots_disallow: dict | None = None, epoch_token: str = ""):
+        self.cfg = cfg
+        factory = cfg.http_client_factory or default_http_client
+        self.fetch = factory(cfg)
+        self.seen_handles = seen_handles
+        self.extractor = RouteAndExtract(cfg)
+        self.cand_kernel = CandidateLinks(cfg, robots_disallow)
+        self.epoch_token = epoch_token
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        if not urls:
+            return FETCHED_SCHEMA.empty_table()
+        revisit = batch["revisit"].to_pylist()
+        statuses: list[int] = []
+        bodies: list[bytes | None] = []
+        for u, rv in zip(urls, revisit):
+            if rv:
+                statuses.append(304)
+                bodies.append(None)
+                continue
+            st, body = self.fetch(u)
+            if st == 200 and body is not None:
+                statuses.append(200)
+                bodies.append(body)
+            else:
+                statuses.append(st)  # 0 = transport failure (no HTTP status)
+                bodies.append(None)
+        out = build_fetched_table(batch, statuses, bodies, self.extractor)
+        n_sent = offer_candidates(out, self.cand_kernel, self.seen_handles,
+                                  self.epoch_token)
+        n_doc = offer_documents(out, self.seen_handles, self.epoch_token)
+        out = _set_counter(out, "offers_sent", n_sent)
+        return _set_counter(out, "doc_offers_sent", n_doc)
+
+
 class LocalBucketJoin:
     """Keys-first locality join (fetch_mode="join", join_strategy="local"):
     called once per BUCKET group after the frontier (keys + metadata only —

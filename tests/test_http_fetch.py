@@ -22,11 +22,14 @@ from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.oracle import crawl_s
 from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.crawl import (
     run_crawl,
 )
+from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.functions.urlnorm import (
+    fetch_key,
+)
 from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.stages.fetch import (
     default_http_client,
 )
 
-from .test_crawl_e2e import _seeds, assert_matches_oracle
+from test_crawl_e2e import _seeds, assert_matches_oracle
 
 
 class _CorpusHandler(BaseHTTPRequestHandler):
@@ -49,7 +52,10 @@ class _CorpusHandler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(self.plain_body)
             return
-        body = self.corpus.get(url)
+        # HTTP semantics: fragments never reach a server and hosts are
+        # case-insensitive — fetch_key is the engine's documented stand-in
+        # for exactly this server-side behavior (functions/urlnorm.py:92)
+        body = self.corpus.get(fetch_key(url))
         if body is None:
             self.send_response(404)
             self.end_headers()
@@ -99,7 +105,7 @@ def http_corpus(tmp_path_factory):
     corpus_dir = write_corpus(d, n_pages=60, n_hosts=3, seed=7,
                               include_huge=False)
     _CorpusHandler.corpus = {
-        u: (h if isinstance(h, bytes) else h.encode())
+        fetch_key(u): (h if isinstance(h, bytes) else h.encode())
         for u, h in load_corpus_dict(corpus_dir).items()
     }
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _CorpusHandler)
