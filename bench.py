@@ -343,7 +343,29 @@ def section_queries() -> dict:
             fn(SF_DIR)
             trials.append(round(time.perf_counter() - t0, 3))
         queries[name] = min(trials)
-    out = {"queries": queries}
+
+    # training-mix sink end-to-end (VERDICT r3 #9): decisions + doc_id
+    # join + lang-partitioned parquet out — the 100 TB consumer path.
+    # Reports wall time AND bytes written (the sink row is meaningless
+    # without the output volume).
+    import shutil
+    import tempfile
+
+    wc_trials: list[float] = []
+    wc_bytes = 0
+    for _ in range(2):
+        out_dir = tempfile.mkdtemp(prefix="graft_curated_")
+        t0 = time.perf_counter()
+        text.write_curated(SF_DIR, out_dir)
+        wc_trials.append(round(time.perf_counter() - t0, 3))
+        wc_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dirs, fs in os.walk(out_dir) for f in fs
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)
+    queries["write_curated"] = min(wc_trials)
+
+    out = {"queries": queries, "write_curated_bytes": wc_bytes}
     ray.shutdown()
     return out
 
@@ -451,12 +473,12 @@ def run_steady() -> dict:
     # selects frontier_mode="dataset": the frontier stays a Dataset end to
     # end and the driver holds only counters
     steady_trials = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         res = run_crawl(corpus_dir, CrawlConfig(record_order=False),
                         seeds=all_urls,
                         max_epochs=1, collect=False, corpus_ref=corpus_ref)
-        steady_trials.append(time.perf_counter() - t0)
+        steady_trials.append(round(time.perf_counter() - t0, 3))
     steady_sec = round(min(steady_trials), 3)
     n_steady_urls = res.counters["scheduled_total"]
 
@@ -471,9 +493,11 @@ def run_steady() -> dict:
 
     out = {
         "steady_sec": steady_sec,
+        "steady_trials": steady_trials,
         "steady_urls": n_steady_urls,
         "steady_urls_per_sec": round(n_steady_urls / steady_sec, 1),
         "extract_sec": extract_sec,
+        "extract_trials": [round(t, 3) for t in extract_trials],
         "extract_pages_per_sec": round(n / extract_sec, 1),
         "num_cpus": NCPU,
     }
@@ -502,6 +526,13 @@ def run_scaling() -> dict:
         "metric": "scaling efficiency (steady-state fetch+extract epoch, "
                   f"fresh ray.init at {lo} vs {hi} CPUs)",
         "cpus": [lo, hi],
+        # per-leg raw trials (best-of-3 steady / best-of-3 extract within a
+        # fresh session): the spread is the honesty check on the headline —
+        # a >1.0 efficiency is leg noise, not physics (VERDICT r3 #8)
+        "steady_trials": [r_lo.get("steady_trials"),
+                          r_hi.get("steady_trials")],
+        "extract_trials": [r_lo.get("extract_trials"),
+                           r_hi.get("extract_trials")],
         "steady_sec": [r_lo["steady_sec"], r_hi["steady_sec"]],
         "steady_urls_per_sec": [r_lo["steady_urls_per_sec"],
                                 r_hi["steady_urls_per_sec"]],
