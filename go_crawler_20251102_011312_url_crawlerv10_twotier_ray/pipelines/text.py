@@ -457,25 +457,42 @@ class _CurationSignals:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import numpy as np
+        import pyarrow.compute as pc
 
-        s = pd.Series(t["text"].to_pylist(), dtype=object)
-        n_tokens = s.str.count(r"\S+").astype("int64")
-        n_nonspace = s.str.count(r"\S").astype("int64")
-        mean_tok_len_c = (
-            (n_nonspace * 100) // n_tokens.clip(lower=1)
-        ).astype("int64")
-        ex = s.str.split().explode().dropna()
-        top = (
-            pd.DataFrame({"i": ex.index, "w": ex.values})
-            .groupby(["i", "w"], sort=False).size()
-            .groupby(level=0).max()
-            .reindex(pd.RangeIndex(len(s)), fill_value=0)
-        )
-        top_bp = (
-            top.to_numpy().astype(np.int64) * 10000
-            // np.maximum(n_tokens.to_numpy(), 1)
-        )
-        preds, _ = self.langid.predict(s)
+        tc = t["text"]
+        n = len(tc)
+        # token/length stats straight off the Arrow buffers — no Python
+        # string materialization (the lone pandas Series below exists only
+        # because LangId.predict's stopword patterns are pandas str.count)
+        n_tokens = pc.cast(
+            pc.count_substring_regex(tc, r"\S+"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n_nonspace = pc.cast(
+            pc.count_substring_regex(tc, r"\S"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        denom = np.maximum(n_tokens, 1)
+        mean_tok_len_c = (n_nonspace * 100) // denom
+        # top-word count per doc: whitespace-split list column → flatten +
+        # parent indices → dictionary-encode (word ids stay in Arrow; no
+        # Python strings) → bincount unique (doc, word) pairs → per-doc max
+        words = pc.utf8_split_whitespace(tc)
+        flat = pc.list_flatten(words).combine_chunks()
+        parent = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = pc.not_equal(flat, "")  # str.split() drops empty tokens
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        codes_arr = pc.dictionary_encode(flat.filter(keep))
+        codes = codes_arr.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        top = np.zeros(n, np.int64)
+        if len(codes):
+            k = len(codes_arr.dictionary)
+            uk, cnt = np.unique(parent * k + codes, return_counts=True)
+            np.maximum.at(top, uk // k, cnt)
+        top_bp = top * 10000 // denom
+        preds, _ = self.langid.predict(tc.to_pandas())
         from ..functions.hashing import md5_hex_arrow
 
         return pa.table(

@@ -147,3 +147,44 @@ def test_quantile_index_rule_matches_duckdb():
         assert (got["p25"], got["p50"], got["p90"]) == want
 
     check()
+
+
+def test_curation_signals_kernel_parity():
+    """The Arrow-native _CurationSignals kernel (count_substring_regex +
+    utf8_split_whitespace + dictionary_encode) must equal the straight
+    pandas formulation on whitespace/empty/repeat corners — and be
+    chunk-layout invariant."""
+    import numpy as np
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.text import (
+        _CurationSignals,
+    )
+
+    texts = ["hello world hello", "  a  b\tc\nc c  ", "", "one",
+             "x " * 500 + "y", "tab\t\ttab tab", " lead", "trail ",
+             "a" * 100, "der die das und der der", "él aquí está",
+             "\n\n\n", "w1 w2 w3 w1 w1 w1"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = _CurationSignals()(t).to_pandas()
+
+    s = pd.Series(texts, dtype=object)
+    n_tokens = s.str.count(r"\S+").astype("int64")
+    n_nonspace = s.str.count(r"\S").astype("int64")
+    mean_c = ((n_nonspace * 100) // n_tokens.clip(lower=1)).astype("int64")
+    ex = s.str.split().explode().dropna()
+    top = (
+        pd.DataFrame({"i": ex.index, "w": ex.values})
+        .groupby(["i", "w"], sort=False).size()
+        .groupby(level=0).max()
+        .reindex(pd.RangeIndex(len(s)), fill_value=0)
+    )
+    top_bp = (top.to_numpy().astype(np.int64) * 10000
+              // np.maximum(n_tokens.to_numpy(), 1))
+
+    assert (got["n_tokens"].to_numpy() == n_tokens.to_numpy()).all()
+    assert (got["mean_tok_len_c"].to_numpy() == mean_c.to_numpy()).all()
+    assert (got["top_word_frac_bp"].to_numpy() == top_bp).all()
+
+    chunked = pa.Table.from_batches(t.to_batches(max_chunksize=3))
+    assert _CurationSignals()(chunked).to_pandas().equals(got)
