@@ -26,6 +26,7 @@ from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
     crawl_queries as cq,
     dedup,
     graph,
+    privacy,
     relational,
     text,
 )
@@ -62,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # at positions where a 50-entry cap costs the least new evidence.
     return {
         # --- never-yet-driver-checked (r3 artifact cap) + r4 upgrades ---
+        "events_scrub_ids": privacy.events_scrub_ids,
+        "decontaminate": privacy.decontaminate,
         "repetition_scores": text.repetition_scores,
         "top_ngrams": text.top_ngrams,
         "corpus_curation": text.corpus_curation,
@@ -146,6 +149,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         **text_oracles,
         **ann_oracles,
+        "events_scrub_ids": privacy.EVENTS_SCRUB_SQL,
+        "decontaminate": privacy.decontam_sql(
+            privacy.mint_decontam_oracle("/root/testdata/sf0.01")),
         "crawl_extract_text": cq.CRAWL_EXTRACT_TEXT_SQL,
         "crawl_router_split": cq.CRAWL_ROUTER_SPLIT_SQL,
         "crawl_link_stats": cq.CRAWL_LINK_STATS_SQL,
