@@ -283,7 +283,7 @@ def section_queries() -> dict:
     crawl has touched."""
     ray = _init_session()
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
-        ann, dedup, graph, relational, text,
+        ann, dedup, graph, privacy, relational, text,
     )
 
     # untimed warm-up: spawn the worker pool + import the pipeline modules
@@ -315,6 +315,8 @@ def section_queries() -> dict:
         ("events_pivot", relational.events_pivot),
         ("customers_without_orders", relational.customers_without_orders),
         ("distinct_kmv_sketch", relational.distinct_kmv_sketch),
+        ("events_scrub_ids", privacy.events_scrub_ids),
+        ("decontaminate", privacy.decontaminate),
     ]:
         # best-of-2: all-to-all query timings swing with page-cache/plasma
         # state; min is the achievable-time estimate
