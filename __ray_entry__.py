@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # at positions where a 50-entry cap costs the least new evidence.
     return {
         # --- never-yet-driver-checked (r3 artifact cap) + r4 upgrades ---
+        "dedup_substring": dedup.dedup_substring,
         "events_scrub_ids": privacy.events_scrub_ids,
         "decontaminate": privacy.decontaminate,
         "repetition_scores": text.repetition_scores,
@@ -152,6 +153,8 @@ def oracle_sql() -> dict[str, str]:
         "events_scrub_ids": privacy.EVENTS_SCRUB_SQL,
         "decontaminate": privacy.decontam_sql(
             privacy.mint_decontam_oracle("/root/testdata/sf0.01")),
+        "dedup_substring": dedup.substr_sql(
+            dedup.mint_substr_oracle("/root/testdata/sf0.01")),
         "crawl_extract_text": cq.CRAWL_EXTRACT_TEXT_SQL,
         "crawl_router_split": cq.CRAWL_ROUTER_SPLIT_SQL,
         "crawl_link_stats": cq.CRAWL_LINK_STATS_SQL,

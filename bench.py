@@ -303,6 +303,7 @@ def section_queries() -> dict:
         ("events_sessionize", relational.events_sessionize),
         ("dedup_exact", dedup.dedup_exact),
         ("dedup_minhash_lsh", dedup.dedup_minhash_lsh),
+        ("dedup_substring", dedup.dedup_substring),
         ("ann_bruteforce_topk", ann.ann_bruteforce_topk),
         ("token_counts", text.token_counts),
         ("quality_scores", text.quality_scores),

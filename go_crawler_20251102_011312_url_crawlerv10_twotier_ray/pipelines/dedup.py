@@ -1196,3 +1196,326 @@ def dedup_clusters(
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring coverage (the Lee-et-al.-2022 span-dedup shape:
+# which token ranges of each document also occur verbatim in OTHER docs)
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 8                      # word n-gram length ("substring" unit)
+SUBSTR_DRIVER_LIMIT = 5_000_000   # dup-hash rows: broadcast below, join above
+SUBSTR_ROWS_PER_PARTITION = 500_000
+SUBSTR_ORACLE_VERSION = "v1"      # bump when K / hash / tokenization changes
+
+
+def _substr_hash(gram: str) -> int:
+    """Pinned 48-bit gram identity: md5 of the space-joined words — the
+    shared spec between the engine kernel and the naive minted oracle.
+    Identity only has to be consistent within one run, so a 100 TB
+    deployment would swap this for a vectorized 64-bit rolling hash;
+    md5 keeps the oracle trivially reproducible here."""
+    return int(hashlib.md5(gram.encode()).hexdigest()[:12], 16)
+
+
+def _substr_words(t: pa.Table):
+    """Whitespace words per doc with Python ``str.split`` semantics (empty
+    tokens dropped), off the Arrow buffers: returns (flat word list,
+    per-word parent doc index, batch row count)."""
+    import pyarrow.compute as pc
+
+    words = pc.utf8_split_whitespace(t["text"])
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "")
+    keepnp = keep.to_numpy(zero_copy_only=False)
+    return flat.filter(keep).to_pylist(), parent[keepnp], len(t)
+
+
+def _substr_gram_rows(t: pa.Table) -> pa.Table:
+    """Exploded (doc_id, pos, gh) rows — one per word K-gram position.
+    The md5-per-gram loop is the same inherently-Python hash loop the
+    other dedup kernels pay; everything around it is vectorized."""
+    wl, parent, n = _substr_words(t)
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    ids, poss, ghs = [], [], []
+    bounds = np.flatnonzero(np.diff(parent, prepend=-1, append=-2))
+    k = SUBSTR_K
+    for j in range(len(bounds) - 1):
+        lo, hi = bounds[j], bounds[j + 1]
+        if hi - lo < k:
+            continue
+        d = int(did[parent[lo]])
+        ws = wl[lo:hi]
+        for i in range(hi - lo - k + 1):
+            ids.append(d)
+            poss.append(i)
+            ghs.append(_substr_hash(" ".join(ws[i:i + k])))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "pos": pa.array(poss, pa.int64()),
+        "gh": pa.array(ghs, pa.int64()),
+    })
+
+
+def _substr_doc_stats(t: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens) per doc — covers the <K-token docs the gram
+    stream never mentions."""
+    _, parent, n = _substr_words(t)
+    n_tokens = np.bincount(parent, minlength=n) if len(parent) else \
+        np.zeros(n, dtype=np.int64)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_tokens": pa.array(n_tokens.astype(np.int64), pa.int64()),
+    })
+
+
+def _substr_cov_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """One vectorized pass per hash(doc) partition: sort (doc, pos), merge
+    overlapping-or-touching [pos, pos+K) intervals (gaps-and-islands), sum
+    span lengths and position counts per doc. Never one Python call per
+    doc — the sessionize co-partition pattern."""
+    g = g.sort_values(["doc_id", "pos"], kind="mergesort")
+    did = g["doc_id"].to_numpy()
+    pos = g["pos"].to_numpy()
+    brk = np.ones(len(g), dtype=bool)
+    if len(g) > 1:
+        brk[1:] = (did[1:] != did[:-1]) | (pos[1:] > pos[:-1] + SUBSTR_K)
+    isl = np.cumsum(brk)
+    spans = (
+        pd.DataFrame({"doc_id": did, "isl": isl, "pos": pos})
+        .groupby(["doc_id", "isl"], sort=False)
+        .agg(lo=("pos", "min"), hi=("pos", "max"), cnt=("pos", "size"))
+        .reset_index()
+    )
+    spans["span"] = spans["hi"] - spans["lo"] + SUBSTR_K
+    out = (
+        spans.groupby("doc_id", sort=False)
+        .agg(n_dup_grams=("cnt", "sum"), dup_tokens=("span", "sum"))
+        .reset_index()
+    )
+    return out.astype({"doc_id": "int64", "n_dup_grams": "int64",
+                       "dup_tokens": "int64"})
+
+
+def dedup_substring(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
+    """Per-doc exact duplicated-passage coverage: a word K-gram is
+    "duplicated" iff it occurs in ≥2 DISTINCT docs (within-doc repeats are
+    repetition_scores' business); per doc we report the duplicated-gram
+    position count and the union token coverage of their [pos, pos+K)
+    intervals, as integer basis points of doc length.
+
+    Scale shape: gram rows carry 24 bytes (doc, pos, 48-bit hash), never
+    text. Doc-frequency is a per-batch distinct partial → one small
+    groupby-sum (docs never split across batches, so per-batch distinct
+    (gh, doc) pairs are globally unique). The duplicated-hash side is
+    usually tiny → broadcast membership via sorted-array searchsorted;
+    above SUBSTR_DRIVER_LIMIT it switches to a hash-partitioned
+    ``Dataset.join`` (mode="driver"/"distributed" force either;
+    equality-tested). Coverage is the sessionize co-partition pattern:
+    ONE shuffle by hash(doc_id), one vectorized island-merge per
+    partition."""
+    import pyarrow.compute as pc
+
+    from ._schema import heal_blocks
+
+    empty = pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"),
+        "n_tokens": pd.Series(dtype="int64"),
+        "n_grams": pd.Series(dtype="int64"),
+        "n_dup_grams": pd.Series(dtype="int64"),
+        "dup_tokens": pd.Series(dtype="int64"),
+        "dup_bp": pd.Series(dtype="int64"),
+    })
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    if ds.count() == 0:
+        return empty
+
+    stats = ds.map_batches(
+        _substr_doc_stats, batch_format="pyarrow").to_pandas()
+    grams = ds.map_batches(_substr_gram_rows, batch_format="pyarrow")
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame({
+                "gh": t["gh"].to_numpy(zero_copy_only=False),
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            })
+            .drop_duplicates()
+            .groupby("gh", as_index=False)
+            .size()
+            .rename(columns={"size": "n_docs"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (
+        grams.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("gh")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    dup_hashes = heal_blocks(
+        counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_docs"], 2))
+            .select(["gh"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    if dup_hashes is None:
+        cov = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "n_dup_grams": pd.Series(dtype="int64"),
+                            "dup_tokens": pd.Series(dtype="int64")})
+    else:
+        n_dup = dup_hashes.count()
+        if mode == "auto":
+            mode = ("driver" if n_dup <= SUBSTR_DRIVER_LIMIT
+                    else "distributed")
+        if mode == "driver":
+            arr = np.sort(
+                dup_hashes.to_pandas()["gh"].to_numpy(dtype=np.int64))
+            ref = ray.put(arr)
+
+            def keep_dup(t: pa.Table, _ref=ref) -> pa.Table:
+                a = ray.get(_ref)
+                gh = t["gh"].to_numpy(zero_copy_only=False)
+                if len(a) == 0:
+                    m = np.zeros(len(gh), dtype=bool)
+                else:
+                    idx = np.searchsorted(a, gh)
+                    idx[idx >= len(a)] = 0
+                    m = a[idx] == gh
+                return t.filter(pa.array(m)).select(["doc_id", "pos"])
+
+            dup_rows = grams.map_batches(keep_dup, batch_format="pyarrow")
+        else:
+            n_part = max(8, min(1024,
+                                grams.count() // SUBSTR_ROWS_PER_PARTITION
+                                + 1))
+            dup_rows = grams.join(
+                dup_hashes, join_type="left_semi",
+                num_partitions=n_part, on=("gh",),
+            ).select_columns(["doc_id", "pos"])
+        dup_rows = heal_blocks(dup_rows)
+        if dup_rows is None:
+            cov = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                "n_dup_grams": pd.Series(dtype="int64"),
+                                "dup_tokens": pd.Series(dtype="int64")})
+        else:
+            n_part = max(8, min(1024,
+                                dup_rows.count()
+                                // SUBSTR_ROWS_PER_PARTITION + 1))
+
+            def add_part(t: pa.Table) -> pa.Table:
+                d = t["doc_id"].to_numpy(zero_copy_only=False)
+                return t.append_column(
+                    "part", pa.array((d % n_part).astype(np.int64)))
+
+            cov = (
+                dup_rows.map_batches(add_part, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(_substr_cov_partition, batch_format="pandas")
+                .to_pandas()
+            )
+
+    out = stats.merge(cov[["doc_id", "n_dup_grams", "dup_tokens"]],
+                      on="doc_id", how="left")
+    out["n_dup_grams"] = out["n_dup_grams"].fillna(0).astype("int64")
+    out["dup_tokens"] = out["dup_tokens"].fillna(0).astype("int64")
+    out["n_grams"] = np.maximum(out["n_tokens"] - SUBSTR_K + 1, 0)
+    nt = out["n_tokens"].to_numpy()
+    out["dup_bp"] = np.where(
+        nt > 0, out["dup_tokens"].to_numpy() * 10000 // np.maximum(nt, 1),
+        0).astype("int64")
+    return (
+        out[["doc_id", "n_tokens", "n_grams", "n_dup_grams",
+             "dup_tokens", "dup_bp"]]
+        .astype({"doc_id": "int64", "n_tokens": "int64", "n_grams": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def mint_substr_oracle(
+        sf_dir: str, base: str = "/tmp/graft_substr_oracle") -> str:
+    """Naive per-doc Python mint of the (doc_id, pos, gh) gram table and
+    the (doc_id, n_tokens) stats table — independent of the engine's
+    Arrow/partial kernels, pinned by SUBSTR_ORACLE_VERSION (the
+    decontaminate minting pattern). _SUCCESS-last."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(base, f"{tag}-{SUBSTR_ORACLE_VERSION}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids, poss, ghs = [], [], []
+    sids, ntoks = [], []
+    k = SUBSTR_K
+    for d, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        ws = (tx or "").split()
+        sids.append(d)
+        ntoks.append(len(ws))
+        for i in range(len(ws) - k + 1):
+            ids.append(d)
+            poss.append(i)
+            ghs.append(_substr_hash(" ".join(ws[i:i + k])))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "pos": pa.array(poss, pa.int64()),
+                  "gh": pa.array(ghs, pa.int64())}),
+        os.path.join(out, "grams.parquet"),
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sids, pa.int64()),
+                  "n_tokens": pa.array(ntoks, pa.int64())}),
+        os.path.join(out, "doc_stats.parquet"),
+    )
+    open(os.path.join(out, "_SUCCESS"), "w").close()
+    return out
+
+
+def substr_sql(oracle_dir: str) -> str:
+    """DuckDB oracle: doc-frequency, duplicated positions, and the interval
+    union via gaps-and-islands window math — all derived relationally from
+    the MINTED naive gram table."""
+    import os
+
+    g = os.path.join(oracle_dir, "grams.parquet")
+    s = os.path.join(oracle_dir, "doc_stats.parquet")
+    k = SUBSTR_K
+    return f"""
+WITH g AS (SELECT * FROM read_parquet('{g}')),
+df AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS c
+                       FROM g GROUP BY gh) WHERE c >= 2),
+dup AS (SELECT doc_id, pos FROM g JOIN df USING (gh)),
+w AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER win IS NULL
+                  OR pos > lag(pos) OVER win + {k}
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+isl AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM w),
+spans AS (SELECT doc_id, island, max(pos) - min(pos) + {k} AS span,
+                 count(*) AS cnt
+          FROM isl GROUP BY doc_id, island),
+cov AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_dup_grams,
+               CAST(sum(span) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(greatest(s.n_tokens - {k} + 1, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(CASE WHEN s.n_tokens > 0
+                 THEN coalesce(c.dup_tokens, 0) * 10000 // s.n_tokens
+                 ELSE 0 END AS BIGINT) AS dup_bp
+FROM read_parquet('{s}') s LEFT JOIN cov c USING (doc_id)
+ORDER BY s.doc_id
+"""
