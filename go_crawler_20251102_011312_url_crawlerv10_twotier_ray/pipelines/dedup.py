@@ -1235,12 +1235,20 @@ def _substr_words(t: pa.Table):
 
 
 def _substr_gram_rows(t: pa.Table) -> pa.Table:
-    """Exploded (doc_id, pos, gh) rows — one per word K-gram position.
-    The md5-per-gram loop is the same inherently-Python hash loop the
-    other dedup kernels pay; everything around it is vectorized."""
+    """Exploded (doc_id, pos, gh) rows — one per word K-gram position —
+    PLUS one stat row per doc encoded as (doc_id, pos=-1, gh=n_tokens), so
+    the doc-length table rides the same single tokenizing pass over the
+    corpus instead of a second full read (the crawl loop's offers_sent
+    stat-row pattern). The md5-per-gram loop is the same inherently-Python
+    hash loop the other dedup kernels pay; everything around it is
+    vectorized."""
     wl, parent, n = _substr_words(t)
     did = t["doc_id"].to_numpy(zero_copy_only=False)
-    ids, poss, ghs = [], [], []
+    n_tokens = (np.bincount(parent, minlength=n) if len(parent)
+                else np.zeros(n, dtype=np.int64))
+    ids = [int(d) for d in did]
+    poss = [-1] * n
+    ghs = [int(x) for x in n_tokens]
     bounds = np.flatnonzero(np.diff(parent, prepend=-1, append=-2))
     k = SUBSTR_K
     for j in range(len(bounds) - 1):
@@ -1257,18 +1265,6 @@ def _substr_gram_rows(t: pa.Table) -> pa.Table:
         "doc_id": pa.array(ids, pa.int64()),
         "pos": pa.array(poss, pa.int64()),
         "gh": pa.array(ghs, pa.int64()),
-    })
-
-
-def _substr_doc_stats(t: pa.Table) -> pa.Table:
-    """(doc_id, n_tokens) per doc — covers the <K-token docs the gram
-    stream never mentions."""
-    _, parent, n = _substr_words(t)
-    n_tokens = np.bincount(parent, minlength=n) if len(parent) else \
-        np.zeros(n, dtype=np.int64)
-    return pa.table({
-        "doc_id": t["doc_id"],
-        "n_tokens": pa.array(n_tokens.astype(np.int64), pa.int64()),
     })
 
 
@@ -1307,16 +1303,18 @@ def dedup_substring(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     position count and the union token coverage of their [pos, pos+K)
     intervals, as integer basis points of doc length.
 
-    Scale shape: gram rows carry 24 bytes (doc, pos, 48-bit hash), never
-    text. Doc-frequency is a per-batch distinct partial → one small
-    groupby-sum (docs never split across batches, so per-batch distinct
-    (gh, doc) pairs are globally unique). The duplicated-hash side is
-    usually tiny → broadcast membership via sorted-array searchsorted;
-    above SUBSTR_DRIVER_LIMIT it switches to a hash-partitioned
-    ``Dataset.join`` (mode="driver"/"distributed" force either;
-    equality-tested). Coverage is the sessionize co-partition pattern:
-    ONE shuffle by hash(doc_id), one vectorized island-merge per
-    partition."""
+    Scale shape: ONE tokenizing pass over the corpus emits gram rows of
+    24 bytes (doc, pos, 48-bit hash) — never text — plus per-doc stat
+    rows (pos=-1) carrying doc length; the row stream is materialized
+    once and reused. Doc-frequency is a per-batch distinct partial
+    (docs never split across batches, so per-batch distinct (gh, doc)
+    pairs are globally unique). Below SUBSTR_DRIVER_LIMIT gram rows the
+    partials merge on the driver and the duplicated-hash set broadcasts
+    (sorted-array searchsorted membership, coverage islands merged in
+    one driver numpy pass — Ray's all-to-all fixed cost dwarfs these
+    tiny tables). Above it: distributed groupby-sum → left_semi join →
+    sessionize-style hash(doc_id) co-partitioned island merge
+    (mode="driver"/"distributed" force either; equality-tested)."""
     import pyarrow.compute as pc
 
     from ._schema import heal_blocks
@@ -1333,11 +1331,25 @@ def dedup_substring(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     if ds.count() == 0:
         return empty
 
-    stats = ds.map_batches(
-        _substr_doc_stats, batch_format="pyarrow").to_pandas()
-    grams = ds.map_batches(_substr_gram_rows, batch_format="pyarrow")
+    rows = ds.map_batches(
+        _substr_gram_rows, batch_format="pyarrow").materialize()
+    n_gram_rows = rows.count()  # stat rows included; fine for sizing
+    if mode == "auto":
+        mode = ("driver" if n_gram_rows <= SUBSTR_DRIVER_LIMIT
+                else "distributed")
+
+    stats = (
+        rows.map_batches(
+            lambda t: t.filter(pc.equal(t["pos"], -1))
+            .select(["doc_id", "gh"])
+            .rename_columns(["doc_id", "n_tokens"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
 
     def partial_df(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["pos"], 0))
         df = (
             pd.DataFrame({
                 "gh": t["gh"].to_numpy(zero_copy_only=False),
@@ -1350,74 +1362,84 @@ def dedup_substring(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         )
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    counts = (
-        grams.map_batches(partial_df, batch_format="pyarrow")
-        .groupby("gh")
-        .aggregate(Sum("n_docs", alias_name="n_docs"))
-    )
-    dup_hashes = heal_blocks(
-        counts.map_batches(
-            lambda t: t.filter(pc.greater_equal(t["n_docs"], 2))
-            .select(["gh"]),
-            batch_format="pyarrow",
-        )
-    )
+    partials = rows.map_batches(partial_df, batch_format="pyarrow")
 
-    if dup_hashes is None:
-        cov = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                            "n_dup_grams": pd.Series(dtype="int64"),
-                            "dup_tokens": pd.Series(dtype="int64")})
-    else:
-        n_dup = dup_hashes.count()
-        if mode == "auto":
-            mode = ("driver" if n_dup <= SUBSTR_DRIVER_LIMIT
-                    else "distributed")
-        if mode == "driver":
-            arr = np.sort(
-                dup_hashes.to_pandas()["gh"].to_numpy(dtype=np.int64))
+    empty_cov = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "n_dup_grams": pd.Series(dtype="int64"),
+                              "dup_tokens": pd.Series(dtype="int64")})
+    if mode == "driver":
+        # tiny-table path: partials merge on the driver, dup hashes
+        # broadcast, matching (doc, pos) rows come back small enough for
+        # one vectorized island merge — zero all-to-all exchanges
+        pdf = partials.to_pandas()
+        agg = pdf.groupby("gh", as_index=False)["n_docs"].sum()
+        arr = np.sort(
+            agg.loc[agg["n_docs"] >= 2, "gh"].to_numpy(dtype=np.int64))
+        if len(arr) == 0:
+            cov = empty_cov
+        else:
             ref = ray.put(arr)
 
             def keep_dup(t: pa.Table, _ref=ref) -> pa.Table:
                 a = ray.get(_ref)
+                t = t.filter(pc.greater_equal(t["pos"], 0))
                 gh = t["gh"].to_numpy(zero_copy_only=False)
-                if len(a) == 0:
-                    m = np.zeros(len(gh), dtype=bool)
-                else:
-                    idx = np.searchsorted(a, gh)
-                    idx[idx >= len(a)] = 0
-                    m = a[idx] == gh
+                idx = np.searchsorted(a, gh)
+                idx[idx >= len(a)] = 0
+                m = a[idx] == gh
                 return t.filter(pa.array(m)).select(["doc_id", "pos"])
 
-            dup_rows = grams.map_batches(keep_dup, batch_format="pyarrow")
-        else:
-            n_part = max(8, min(1024,
-                                grams.count() // SUBSTR_ROWS_PER_PARTITION
-                                + 1))
-            dup_rows = grams.join(
-                dup_hashes, join_type="left_semi",
-                num_partitions=n_part, on=("gh",),
-            ).select_columns(["doc_id", "pos"])
-        dup_rows = heal_blocks(dup_rows)
-        if dup_rows is None:
-            cov = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                "n_dup_grams": pd.Series(dtype="int64"),
-                                "dup_tokens": pd.Series(dtype="int64")})
-        else:
-            n_part = max(8, min(1024,
-                                dup_rows.count()
-                                // SUBSTR_ROWS_PER_PARTITION + 1))
-
-            def add_part(t: pa.Table) -> pa.Table:
-                d = t["doc_id"].to_numpy(zero_copy_only=False)
-                return t.append_column(
-                    "part", pa.array((d % n_part).astype(np.int64)))
-
-            cov = (
-                dup_rows.map_batches(add_part, batch_format="pyarrow")
-                .groupby("part")
-                .map_groups(_substr_cov_partition, batch_format="pandas")
+            cov = _substr_cov_partition(
+                rows.map_batches(keep_dup, batch_format="pyarrow")
                 .to_pandas()
             )
+    else:
+        counts = (
+            partials.groupby("gh")
+            .aggregate(Sum("n_docs", alias_name="n_docs"))
+        )
+        dup_hashes = heal_blocks(
+            counts.map_batches(
+                lambda t: t.filter(pc.greater_equal(t["n_docs"], 2))
+                .select(["gh"]),
+                batch_format="pyarrow",
+            )
+        )
+        if dup_hashes is None:
+            cov = empty_cov
+        else:
+            n_part = max(8, min(1024,
+                                n_gram_rows // SUBSTR_ROWS_PER_PARTITION
+                                + 1))
+            gram_only = rows.map_batches(
+                lambda t: t.filter(pc.greater_equal(t["pos"], 0)),
+                batch_format="pyarrow",
+            )
+            dup_rows = heal_blocks(
+                gram_only.join(
+                    dup_hashes, join_type="left_semi",
+                    num_partitions=n_part, on=("gh",),
+                ).select_columns(["doc_id", "pos"])
+            )
+            if dup_rows is None:
+                cov = empty_cov
+            else:
+                n_part = max(8, min(1024,
+                                    dup_rows.count()
+                                    // SUBSTR_ROWS_PER_PARTITION + 1))
+
+                def add_part(t: pa.Table) -> pa.Table:
+                    d = t["doc_id"].to_numpy(zero_copy_only=False)
+                    return t.append_column(
+                        "part", pa.array((d % n_part).astype(np.int64)))
+
+                cov = (
+                    dup_rows.map_batches(add_part, batch_format="pyarrow")
+                    .groupby("part")
+                    .map_groups(_substr_cov_partition,
+                                batch_format="pandas")
+                    .to_pandas()
+                )
 
     out = stats.merge(cov[["doc_id", "n_dup_grams", "dup_tokens"]],
                       on="doc_id", how="left")
