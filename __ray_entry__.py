@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never-yet-driver-checked (r3 artifact cap) + r4 upgrades ---
         "dedup_substring": dedup.dedup_substring,
+        "heavy_hitters_topk": relational.heavy_hitters_topk,
         "events_scrub_ids": privacy.events_scrub_ids,
         "decontaminate": privacy.decontaminate,
         "repetition_scores": text.repetition_scores,
@@ -155,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
             privacy.mint_decontam_oracle("/root/testdata/sf0.01")),
         "dedup_substring": dedup.substr_sql(
             dedup.mint_substr_oracle("/root/testdata/sf0.01")),
+        "heavy_hitters_topk": relational.HEAVY_HITTERS_SQL,
         "crawl_extract_text": cq.CRAWL_EXTRACT_TEXT_SQL,
         "crawl_router_split": cq.CRAWL_ROUTER_SPLIT_SQL,
         "crawl_link_stats": cq.CRAWL_LINK_STATS_SQL,

@@ -316,6 +316,7 @@ def section_queries() -> dict:
         ("events_pivot", relational.events_pivot),
         ("customers_without_orders", relational.customers_without_orders),
         ("distinct_kmv_sketch", relational.distinct_kmv_sketch),
+        ("heavy_hitters_topk", relational.heavy_hitters_topk),
         ("events_scrub_ids", privacy.events_scrub_ids),
         ("decontaminate", privacy.decontaminate),
     ]:

@@ -1342,3 +1342,142 @@ SELECT CAST(count(*) AS BIGINT) AS k,
        CAST((count(*) - 1) * {KMV_SPACE} // max(hv) AS BIGINT) AS est_distinct
 FROM kmin
 """
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_topk: provably-exact top-K via Misra-Gries candidate pruning
+# ---------------------------------------------------------------------------
+
+HH_TOPK = 20
+HH_MG_K = 4096               # per-batch summary bound (≤ MG_K keys/batch)
+HH_DRIVER_LIMIT = 2_000_000  # candidate partial-count rows: driver merge below
+
+
+def heavy_hitters_topk(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
+    """Exact top-K most frequent event users WITHOUT ever shuffling the
+    full key column — the second mergeable-sketch family next to
+    distinct_kmv_sketch (frequency instead of cardinality).
+
+    Pass 1 keeps, per batch, only keys with local count > n_b/(MG_K+1):
+    the Misra-Gries survivor set (≤ MG_K keys), computed vectorized off
+    the batch histogram. Any key with GLOBAL count > N/(MG_K+1) must
+    clear that bar in at least one batch (pigeonhole over the batch
+    partition), so the candidate union provably contains every
+    sufficiently-heavy key. Pass 2 exactly counts candidates only
+    (sorted-array broadcast membership). The result is certified exact by
+    checking the K-th count strictly exceeds N/(MG_K+1) — every excluded
+    key is bounded below that — and FAILS LOUDLY when the distribution is
+    too flat to certify (the dedup_clusters fail-loud rule; raise
+    HH_MG_K to certify flatter distributions).
+
+    Scale: per-batch summaries ≤ MG_K rows; candidate partial counts
+    ≤ n_batches × MG_K rows, merged on the driver below HH_DRIVER_LIMIT
+    and via a distributed groupby-sum above (mode forces either;
+    equality-tested)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ._schema import heal_blocks
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    n_total = ds.count()
+    if n_total == 0:
+        return pd.DataFrame({"rank": pd.Series(dtype="int64"),
+                             "user_id": pd.Series(dtype="int64"),
+                             "n_events": pd.Series(dtype="int64")})
+
+    def mg_survivors(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(u, return_counts=True)
+        keep = cnts * (HH_MG_K + 1) > len(u)
+        return pa.table(
+            {"user_id": pa.array(vals[keep].astype(np.int64), pa.int64())})
+
+    sur = ds.map_batches(mg_survivors, batch_format="pyarrow").to_pandas()
+    # an all-empty survivor set comes back zero-COLUMN (schema loss on
+    # empty typed blocks) — that means NOTHING was heavy enough to track,
+    # which is the uncertifiable case below
+    cand = (np.unique(sur["user_id"].to_numpy(dtype=np.int64))
+            if "user_id" in sur.columns else np.array([], dtype=np.int64))
+    ref = ray.put(cand)
+
+    def count_candidates(t: pa.Table, _ref=ref) -> pa.Table:
+        a = ray.get(_ref)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            m = np.zeros(len(u), dtype=bool)
+        else:
+            idx = np.searchsorted(a, u)
+            idx[idx >= len(a)] = 0
+            m = a[idx] == u
+        vals, cnts = np.unique(u[m], return_counts=True)
+        return pa.table({
+            "user_id": pa.array(vals.astype(np.int64), pa.int64()),
+            "n": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    empty_counts = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+    if len(cand) == 0:
+        # nothing was heavy enough to track — fall through to the
+        # certification check, which rejects this as uncertifiable
+        counts = empty_counts
+    else:
+        partials = ds.map_batches(count_candidates, batch_format="pyarrow")
+        if mode == "auto":
+            # partial rows ≤ n_blocks × |cand|; size blocks off the row
+            # count (~100k rows/block is the read-bounded layout's order)
+            est_rows = len(cand) * max(1, n_total // 100_000)
+            mode = ("driver" if est_rows <= HH_DRIVER_LIMIT
+                    else "distributed")
+        if mode == "driver":
+            counts = (
+                partials.to_pandas()
+                .groupby("user_id", as_index=False)["n"].sum()
+            )
+        else:
+            merged = heal_blocks(
+                partials.groupby("user_id")
+                .aggregate(_Sum("n", alias_name="n"))
+            )
+            counts = (merged.to_pandas() if merged is not None
+                      else empty_counts)
+
+    top = (
+        counts.sort_values(["n", "user_id"], ascending=[False, True],
+                           kind="mergesort")
+        .head(HH_TOPK)
+        .reset_index(drop=True)
+    )
+    # certification — two independent exactness certificates:
+    # (a) coverage: candidate counts sum to N ⇒ the candidate set IS the
+    #     full key set, nothing was pruned;
+    # (b) bound: ≥ K candidates and the K-th count strictly beats
+    #     N/(MG_K+1), the ceiling on every key the sketch may have dropped.
+    kth = int(top["n"].iloc[-1]) if len(top) else 0
+    covered = int(counts["n"].sum()) == n_total
+    bound_ok = len(counts) >= HH_TOPK and kth * (HH_MG_K + 1) > n_total
+    if not (covered or bound_ok):
+        raise RuntimeError(
+            f"heavy_hitters_topk: cannot certify exact top-{HH_TOPK} — "
+            f"K-th count {kth} ≤ N/(MG_K+1) = {n_total}/{HH_MG_K + 1} and "
+            "candidates do not cover all events; the distribution is too "
+            "flat for this summary bound. Raise HH_MG_K."
+        )
+    out = pd.DataFrame({
+        "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+        "user_id": top["user_id"].to_numpy(dtype=np.int64),
+        "n_events": top["n"].to_numpy(dtype=np.int64),
+    })
+    return out.astype({"rank": "int64", "user_id": "int64",
+                       "n_events": "int64"})
+
+
+HEAVY_HITTERS_SQL = f"""
+SELECT CAST(rank AS BIGINT) AS rank, user_id,
+       CAST(n_events AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, count(*) AS n_events,
+         row_number() OVER (ORDER BY count(*) DESC, user_id) AS rank
+  FROM events GROUP BY user_id
+) WHERE rank <= {HH_TOPK} ORDER BY rank
+"""

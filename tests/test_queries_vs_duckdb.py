@@ -162,3 +162,68 @@ def test_props_extract_null_semantics(tmp_path):
     assert got.loc[got.event_type == "click", "n_events"].item() == 3
     assert got.loc[got.event_type == "click", "sum_k"].item() == 2
     assert got.loc[got.event_type == "click", "min_k"].item() == -3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_planted_skew(tmp_path):
+    """Planted zipf-ish skew: the certified top-K must equal the exact
+    top-K (count desc, key asc) computed naively."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
+        relational,
+    )
+
+    # keys 0..29 with counts 300, 290, ... 10; plus 500 singleton keys
+    uid = np.concatenate(
+        [np.repeat(k, 300 - 10 * k) for k in range(30)]
+        + [np.arange(1000, 1500)]
+    )
+    rng = np.random.RandomState(7)
+    rng.shuffle(uid)
+    pq.write_table(pa.table({"user_id": pa.array(uid, pa.int64())}),
+                   str(tmp_path / "events.parquet"))
+    out = relational.heavy_hitters_topk(str(tmp_path))
+    assert len(out) == relational.HH_TOPK
+    assert list(out["user_id"]) == list(range(relational.HH_TOPK))
+    assert list(out["n_events"]) == [300 - 10 * k
+                                     for k in range(relational.HH_TOPK)]
+    assert list(out["rank"]) == list(range(1, relational.HH_TOPK + 1))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_modes_match():
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
+        relational,
+    )
+
+    drv = relational.heavy_hitters_topk(SF_DIR, mode="driver")
+    dst = relational.heavy_hitters_topk(SF_DIR, mode="distributed")
+    pd.testing.assert_frame_equal(drv, dst)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_uncertifiable_fails_loud(tmp_path, monkeypatch):
+    """A flat distribution the summary bound cannot certify must RAISE,
+    never return a silently-approximate top-K. MG_K is patched down so
+    the flat case is constructible at test size."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
+        relational,
+    )
+
+    monkeypatch.setattr(relational, "HH_MG_K", 4)
+    # 5000 keys × 2 events: kth count 2 ≤ 10000/5, and per-batch survivors
+    # exist (bar n_b/5) without covering all events
+    uid = np.repeat(np.arange(5000, dtype=np.int64), 2)
+    rng = np.random.RandomState(11)
+    rng.shuffle(uid)
+    pq.write_table(pa.table({"user_id": pa.array(uid, pa.int64())}),
+                   str(tmp_path / "events.parquet"))
+    with pytest.raises(RuntimeError, match="cannot certify"):
+        relational.heavy_hitters_topk(str(tmp_path))
