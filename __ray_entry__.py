@@ -56,26 +56,27 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Ordering matters: the round-3 driver artifact recorded exactly the
-    # FIRST 50 registered queries, silently dropping the tail.  Entries
-    # with no prior CORRECTNESS row therefore come first so a capped run
-    # still certifies them; the long-green crawl/relational families sit
-    # at positions where a 50-entry cap costs the least new evidence.
+    # Ordering matters: the driver artifact records exactly the FIRST 50
+    # registered queries, silently dropping the tail.  Round-5 rotation
+    # (VERDICT r4 #1): the first 50 are (a) the 10 graph/core-text queries
+    # whose code changed after their r3 certification and (b) every query
+    # over a file touched in round 5 (crawl/fetch/pages/corpus, dedup,
+    # privacy, graph); the 10 tail entries are multi-round-stable
+    # relational queries whose module is untouched this round, so their r4
+    # green rows remain current evidence.
     return {
-        # --- never-yet-driver-checked (r3 artifact cap) + r4 upgrades ---
-        "dedup_substring": dedup.dedup_substring,
-        "heavy_hitters_topk": relational.heavy_hitters_topk,
-        "events_scrub_ids": privacy.events_scrub_ids,
-        "decontaminate": privacy.decontaminate,
-        "repetition_scores": text.repetition_scores,
-        "top_ngrams": text.top_ngrams,
-        "corpus_curation": text.corpus_curation,
-        "corpus_sample_stratified": text.corpus_sample_stratified,
-        "tfidf_top_terms": text.tfidf_top_terms,
-        "lang_length_quantiles": text.lang_length_quantiles,
-        "ann_lsh_topk": ann.ann_lsh_topk,
-        "ann_ivf_topk": ann.ann_ivf_topk,
-        # --- crawl engine (synthetic Common-Crawl-shaped corpus) ---
+        # --- stale-evidence set: code changed after r3 certification ---
+        "link_pagerank": graph.link_pagerank,
+        "link_degree_stats": graph.link_degree_stats,
+        "link_components": graph.link_components,
+        "link_bfs_depth": graph.link_bfs_depth,
+        "token_counts": text.token_counts,
+        "quality_scores": text.quality_scores,
+        "doc_fingerprints": text.doc_fingerprints,
+        "doc_winnowing": text.doc_winnowing,
+        "lang_id": text.lang_id,
+        "lang_distribution": text.lang_distribution,
+        # --- crawl engine (crawl/fetch/pages/corpus changed in r5) ---
         "crawl_extract_text": cq.crawl_extract_text,
         "crawl_router_split": cq.crawl_router_split,
         "crawl_link_stats": cq.crawl_link_stats,
@@ -85,19 +86,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": cq.media_features_query,
         "media_resize": cq.media_resize_query,
         "media_frames": cq.media_frames_query,
+        # --- training-data ops: dedup (dedup.py changed in r5) ---
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine_query,
+        "dedup_winnow_pairs": dedup.dedup_winnow_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
+        "dedup_substring": dedup.dedup_substring,
+        # --- privacy (privacy.py changed in r5) ---
+        "events_scrub_ids": privacy.events_scrub_ids,
+        "decontaminate": privacy.decontaminate,
+        # --- similarity search ---
+        "ann_bruteforce_topk": ann.ann_bruteforce_topk,
+        "ann_lsh_topk": ann.ann_lsh_topk,
+        "ann_ivf_topk": ann.ann_ivf_topk,
+        "knn_classify": ann.knn_classify,
+        # --- text analysis (r4-certified, kept under the cap) ---
+        "repetition_scores": text.repetition_scores,
+        "top_ngrams": text.top_ngrams,
+        "corpus_curation": text.corpus_curation,
+        "corpus_sample_stratified": text.corpus_sample_stratified,
+        "tfidf_top_terms": text.tfidf_top_terms,
+        "lang_length_quantiles": text.lang_length_quantiles,
         # --- relational surface (testdata TPC-H-ish tables) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_top_orders": relational.q3_top_orders,
-        "q5_nation_revenue": relational.q5_nation_revenue,
-        "events_hourly_window": relational.events_hourly_window,
-        "events_sliding_window": relational.events_sliding_window,
         "events_sessionize": relational.events_sessionize,
-        "events_asof_orders": relational.events_asof_orders,
-        "events_range_join": relational.events_range_join_counts,
-        "top_customers": relational.top_customers,
-        "part_type_counts": relational.part_type_counts,
-        "q6_revenue_forecast": relational.q6_revenue_forecast,
-        "region_supplier_stats": relational.region_supplier_stats,
         "events_props_extract": relational.events_props_extract,
         "events_running_total": relational.events_running_total,
         "q1_rollup": relational.q1_rollup,
@@ -106,29 +121,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": relational.events_pivot,
         "user_window_activity": relational.user_window_activity,
         "distinct_kmv_sketch": relational.distinct_kmv_sketch,
-        # --- training-data ops: dedup ---
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_simhash": dedup.dedup_simhash,
-        "dedup_embedding_cosine": dedup.dedup_embedding_cosine_query,
-        "dedup_winnow_pairs": dedup.dedup_winnow_pairs,
-        "dedup_clusters": dedup.dedup_clusters,
-        # --- similarity search (lsh/ivf registered at the top) ---
-        "ann_bruteforce_topk": ann.ann_bruteforce_topk,
-        "knn_classify": ann.knn_classify,
-        # --- link-graph analytics ---
-        "link_pagerank": graph.link_pagerank,
-        "link_degree_stats": graph.link_degree_stats,
-        "link_components": graph.link_components,
-        "link_bfs_depth": graph.link_bfs_depth,
-        # --- text analysis ---
-        "token_counts": text.token_counts,
-        "quality_scores": text.quality_scores,
-        "doc_fingerprints": text.doc_fingerprints,
-        "doc_winnowing": text.doc_winnowing,
-        "lang_id": text.lang_id,
-        "lang_distribution": text.lang_distribution,
+        "heavy_hitters_topk": relational.heavy_hitters_topk,
+        # ---- 50-row cap boundary: entries below are multi-round-stable
+        # relational queries over an UNTOUCHED module (r4 rows current) ----
+        "q3_top_orders": relational.q3_top_orders,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "events_hourly_window": relational.events_hourly_window,
+        "events_sliding_window": relational.events_sliding_window,
+        "events_asof_orders": relational.events_asof_orders,
+        "events_range_join": relational.events_range_join_counts,
+        "top_customers": relational.top_customers,
+        "part_type_counts": relational.part_type_counts,
+        "q6_revenue_forecast": relational.q6_revenue_forecast,
+        "region_supplier_stats": relational.region_supplier_stats,
     }
 
 
