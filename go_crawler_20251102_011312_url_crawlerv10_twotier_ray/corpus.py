@@ -453,6 +453,16 @@ def write_corpus(
             if f.read().strip() == stamp:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    # regenerating IN PLACE: derived layouts minted from the previous
+    # corpus contents (hash-bucket pages, persisted link graph) would
+    # silently serve stale page bodies — remove them (belt: they also
+    # record the corpus stamp in their meta and self-invalidate)
+    import glob as _glob
+    import shutil as _shutil
+
+    for d in _glob.glob(os.path.join(out_dir, "pages_by_key-*")) + \
+            _glob.glob(os.path.join(out_dir, "derived_graph-*")):
+        _shutil.rmtree(d, ignore_errors=True)
     pages, seeds, politeness, page_stats = build_corpus(
         n_pages, n_hosts, seed, mint_text, include_huge, chain_len, hub_fanout
     )

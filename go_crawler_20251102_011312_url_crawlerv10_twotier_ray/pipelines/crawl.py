@@ -141,9 +141,12 @@ def _schedule_pandas(
 
 def _budget_mark_group(g: pd.DataFrame, budgets: dict[str, int],
                        default_budget: int) -> pd.DataFrame:
-    """Per-host politeness comparator (ONE definition for both frontier
-    modes — shared spec with oracle/crawl_sim.py): deterministic in-host
-    order, first b rows scheduled, the rest deferred."""
+    """Per-host politeness comparator (the executable SPEC, one host per
+    call — shared semantics with oracle/crawl_sim.py): deterministic
+    in-host order, first b rows scheduled, the rest deferred. The hot
+    paths run ``_budget_mark_partition`` (vectorized over many hosts,
+    parity-tested against this function); this stays the single
+    readable definition both must match."""
     g = g.sort_values(
         ["priority", "url_norm", "url"],
         ascending=[False, True, True], kind="mergesort",
@@ -154,29 +157,76 @@ def _budget_mark_group(g: pd.DataFrame, budgets: dict[str, int],
     return g
 
 
+def _budget_mark_partition(g: pd.DataFrame, budgets: dict[str, int],
+                           default_budget: int) -> pd.DataFrame:
+    """Vectorized politeness marking over one hash(host) partition (the
+    partition holds COMPLETE hosts, so per-host decisions are local):
+    host-sorted cumcount vs per-host budget — ONE Python call per
+    PARTITION, never per host. A real web frontier has 10^6-10^7 hosts;
+    a per-host map_groups makes scheduling the epoch bottleneck (the
+    reference's analogue is a single global colly LimitRule,
+    crawler_twotier.go:64-69, which never does per-host serial work).
+    Semantics identical to _budget_mark_group (parity-tested)."""
+    g = g.sort_values(
+        ["host", "priority", "url_norm", "url"],
+        ascending=[True, False, True, True], kind="mergesort",
+    )
+    if budgets:
+        bud = (
+            g["host"].map(budgets).fillna(default_budget)
+            .to_numpy(dtype=np.int64)
+        )
+    else:
+        bud = np.full(len(g), default_budget, np.int64)
+    cum = g.groupby("host", sort=False).cumcount().to_numpy()
+    g = g.copy()
+    g["sched"] = (bud <= 0) | (cum < bud)
+    return g
+
+
+def _stamp_host_part(n_part: int):
+    """Arrow batch stamp: part = hash(host) % n_part (pandas' fixed-key
+    siphash — process-stable, same kernel the corpus bucket layout uses)
+    so a groupby("part") co-locates complete hosts with bounded fan-in."""
+    def fn(t: pa.Table) -> pa.Table:
+        from ..sources.pages import key_bucket
+
+        return t.append_column(
+            "part", pa.array(key_bucket(t["host"].to_pylist(), n_part)))
+
+    return fn
+
+
 def _schedule_distributed(
     frontier: pd.DataFrame, budgets: dict[str, int], default_budget: int
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Distributed twin of _schedule_pandas for huge frontiers: per-host
-    budget as groupby(host).map_groups (one group per host — bounded fan-in;
-    hot hosts are a single group each, which is exactly the politeness
-    constraint), then a distributed sort for the deterministic global order.
-    Semantics identical to the pandas path (equivalence-tested)."""
+    """Distributed twin of _schedule_pandas for huge frontiers: rows
+    co-partition by hash(host), each partition marks its budgets in one
+    vectorized pass (_budget_mark_partition), then a distributed sort
+    gives the deterministic global order. Semantics identical to the
+    pandas path (equivalence-tested). NOTE: this driver-mode path still
+    funnels the scheduled frontier back into a driver pandas frame at the
+    end — dataset mode (frontier_mode="dataset") is the loop that keeps
+    the frontier distributed end-to-end; use it for truly huge frontiers."""
 
     from functools import partial
 
-    mark = partial(_budget_mark_group, budgets=budgets,
+    mark = partial(_budget_mark_partition, budgets=budgets,
                    default_budget=default_budget)
 
-    ds = rd.from_pandas(frontier).repartition(
-        max(2, min(64, len(frontier) // 50_000 + 1))
+    n_part = max(2, min(64, len(frontier) // 50_000 + 1))
+    ds = rd.from_pandas(frontier).repartition(n_part)
+    marked = (
+        ds.map_batches(_stamp_host_part(max(8, 4 * n_part)),
+                       batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mark, batch_format="pandas")
     )
-    marked = ds.groupby("host").map_groups(mark, batch_format="pandas")
 
     def keep(flag: bool):
         def fn(t: pa.Table) -> pa.Table:
             return t.filter(pa.compute.equal(t["sched"], flag)).drop_columns(
-                ["sched"]
+                ["sched", "part"]
             )
 
         return fn
@@ -1077,7 +1127,7 @@ def _run_crawl_dataset_frontier(
 
     from functools import partial
 
-    mark_budget = partial(_budget_mark_group, budgets=host_budgets,
+    mark_budget = partial(_budget_mark_partition, budgets=host_budgets,
                           default_budget=default_budget)
 
     epoch = 0
@@ -1114,8 +1164,17 @@ def _run_crawl_dataset_frontier(
                 ))
                 sched_ds = frontier_ds.repartition(n_blocks)
                 if budgets_on:
-                    marked = sched_ds.groupby("host").map_groups(
-                        mark_budget, batch_format="pandas"
+                    # hash(host) co-partition + ONE vectorized marking pass
+                    # per partition — never a Python call per host (a web
+                    # frontier has millions of hosts)
+                    n_part_pol = max(8, min(
+                        512, frontier_count // 25_000 + 2))
+                    marked = (
+                        sched_ds.map_batches(
+                            _stamp_host_part(n_part_pol),
+                            batch_format="pyarrow")
+                        .groupby("part")
+                        .map_groups(mark_budget, batch_format="pandas")
                     ).materialize()
                     sched_ds = marked.filter(expr="sched == True").map_batches(
                         lambda t: _cast_frontier(t), batch_format="pyarrow"
@@ -1590,6 +1649,11 @@ def _download_lane(new_tasks, pending_retry, cfg, mode, corpus_ref,
                     batch_format="pyarrow", concurrency=auto_pool(),
                 )
             )
+        elif mode == "join" and cfg.join_strategy == "shuffle":
+            # the legacy shuffle twin measures its own download path too —
+            # without this dispatch the shuffle bench leg would silently
+            # borrow the locality-bucket lookups
+            dl_out = _download_join(d_tbl, pages_path, cfg)
         else:
             dl_out = _download_local(d_tbl, pages_path, cfg)
         if dl_out is not None:
@@ -1629,25 +1693,33 @@ def _download_local(d_tbl: pa.Table, pages_path: str,
         d_ds = d_ds.repartition(max(2, t.num_rows // 8192))
 
     def fetch_blen(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         b = g["bucket"][0].as_py()
         d = os.path.join(root, f"bucket={b}")
-        lut: dict = {}
         if os.path.isdir(d):
+            # vectorized lookup against the bucket's (url, blen) columns:
+            # index_in → null-propagating take (the LocalBucketJoin pattern)
+            # instead of a per-group Python dict + per-row .get
             pb = pq.read_table(d, columns=["url", "blen"])
-            lut = dict(zip(pb["url"].to_pylist(), pb["blen"].to_pylist()))
+            idx = pc.index_in(g["fetch_key"], value_set=pb["url"])
+            blen = pb["blen"].combine_chunks().take(idx)
+            ok = pc.is_valid(idx)
+            nbytes = pc.fill_null(blen, 0).cast(pa.int64())
+        else:
+            ok = pa.array(np.zeros(g.num_rows, bool))
+            nbytes = pa.array(np.zeros(g.num_rows, np.int64))
         urls = g["url"].to_pylist()
-        blens = [lut.get(k) for k in g["fetch_key"].to_pylist()]
         return pa.table(
             {
                 "url": g["url"],
                 "depth": g["depth"],
                 "attempt": g["attempt"],
-                "ok": pa.array([b is not None for b in blens], pa.bool_()),
-                "bytes": pa.array(
-                    [b if b is not None else 0 for b in blens], pa.int64()
-                ),
+                "ok": ok.combine_chunks() if isinstance(
+                    ok, pa.ChunkedArray) else ok,
+                "bytes": nbytes.combine_chunks() if isinstance(
+                    nbytes, pa.ChunkedArray) else nbytes,
                 "filename": pa.array(
                     [extract_filename(u) for u in urls], pa.string()
                 ),

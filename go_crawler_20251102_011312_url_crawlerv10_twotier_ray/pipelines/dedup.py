@@ -1349,6 +1349,13 @@ def dedup_substring(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     )
 
     def partial_df(t: pa.Table) -> pa.Table:
+        # per-batch distinct (gh, doc_id) PAIRS — a volume reducer only.
+        # Batch boundaries are NOT doc boundaries (Ray splits map outputs
+        # at target_max_block_size at arbitrary rows), so a within-doc
+        # repeated gram can straddle batches and the same pair can come
+        # out of two batches; global distinctness is re-established in
+        # the merge (driver drop_duplicates / per-gh-partition distinct)
+        # before any doc counting.
         t = t.filter(pc.greater_equal(t["pos"], 0))
         df = (
             pd.DataFrame({
@@ -1356,9 +1363,6 @@ def dedup_substring(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
                 "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
             })
             .drop_duplicates()
-            .groupby("gh", as_index=False)
-            .size()
-            .rename(columns={"size": "n_docs"})
         )
         return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -1368,11 +1372,13 @@ def dedup_substring(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
                               "n_dup_grams": pd.Series(dtype="int64"),
                               "dup_tokens": pd.Series(dtype="int64")})
     if mode == "driver":
-        # tiny-table path: partials merge on the driver, dup hashes
-        # broadcast, matching (doc, pos) rows come back small enough for
-        # one vectorized island merge — zero all-to-all exchanges
-        pdf = partials.to_pandas()
-        agg = pdf.groupby("gh", as_index=False)["n_docs"].sum()
+        # tiny-table path: partial pairs merge on the driver (global
+        # distinct re-established here), dup hashes broadcast, matching
+        # (doc, pos) rows come back small enough for one vectorized
+        # island merge — zero all-to-all exchanges
+        pdf = partials.to_pandas().drop_duplicates()
+        agg = pdf.groupby("gh", as_index=False).size().rename(
+            columns={"size": "n_docs"})
         arr = np.sort(
             agg.loc[agg["n_docs"] >= 2, "gh"].to_numpy(dtype=np.int64))
         if len(arr) == 0:
@@ -1394,16 +1400,31 @@ def dedup_substring(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
                 .to_pandas()
             )
     else:
-        counts = (
-            partials.groupby("gh")
-            .aggregate(Sum("n_docs", alias_name="n_docs"))
-        )
-        dup_hashes = heal_blocks(
-            counts.map_batches(
-                lambda t: t.filter(pc.greater_equal(t["n_docs"], 2))
-                .select(["gh"]),
-                batch_format="pyarrow",
+        # all pairs of one gh land in one partition (hash(gh)
+        # co-partition), so per-partition pandas distinct + count is the
+        # GLOBAL count(DISTINCT doc_id) per gh — boundary-proof without a
+        # two-key groupby shuffle
+        n_part_df = max(8, min(1024,
+                               n_gram_rows // SUBSTR_ROWS_PER_PARTITION
+                               + 1))
+
+        def add_gh_part(t: pa.Table) -> pa.Table:
+            gh = t["gh"].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "part", pa.array((gh % n_part_df).astype(np.int64)))
+
+        def df_partition(g: pd.DataFrame) -> pd.DataFrame:
+            agg = (
+                g[["gh", "doc_id"]].drop_duplicates()
+                .groupby("gh", as_index=False).size()
             )
+            out = agg.loc[agg["size"] >= 2, ["gh"]]
+            return out.astype({"gh": "int64"})
+
+        dup_hashes = heal_blocks(
+            partials.map_batches(add_gh_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(df_partition, batch_format="pandas")
         )
         if dup_hashes is None:
             cov = empty_cov

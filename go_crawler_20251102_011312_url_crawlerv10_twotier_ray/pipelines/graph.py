@@ -78,11 +78,18 @@ def _load_derived_graph(cdir: str):
 
     from ._schema import read_parquet_bounded
 
+    from ..sources.pages import corpus_stamp
+
     gdir = _derived_graph_dir(cdir)
     if not os.path.exists(os.path.join(gdir, "_SUCCESS")):
         return None
     with open(os.path.join(gdir, "meta.json")) as f:
-        n_nodes = int(json.load(f)["n_nodes"])
+        meta = json.load(f)
+    # a graph derived from a corpus that was since regenerated in place
+    # (different parameter stamp) is stale — force re-derivation
+    if meta.get("corpus_stamp", "") != corpus_stamp(cdir):
+        return None
+    n_nodes = int(meta["n_nodes"])
     nodes = read_parquet_bounded(
         os.path.join(gdir, "nodes"), columns=["node"]).materialize()
     edges = read_parquet_bounded(
@@ -100,6 +107,8 @@ def _persist_derived_graph(cdir: str, nodes: rd.Dataset,
     import json
     import shutil
 
+    from ..sources.pages import corpus_stamp
+
     if n_nodes == 0 or edges.count() == 0:
         return  # an empty parquet read-back would be zero-column (unusable)
     gdir = _derived_graph_dir(cdir)
@@ -109,7 +118,8 @@ def _persist_derived_graph(cdir: str, nodes: rd.Dataset,
         nodes.write_parquet(os.path.join(tmp, "nodes"))
         edges.write_parquet(os.path.join(tmp, "edges"))
         with open(os.path.join(tmp, "meta.json"), "w") as f:
-            json.dump({"n_nodes": n_nodes}, f)
+            json.dump({"n_nodes": n_nodes,
+                       "corpus_stamp": corpus_stamp(cdir)}, f)
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
         shutil.rmtree(gdir, ignore_errors=True)
         os.rename(tmp, gdir)

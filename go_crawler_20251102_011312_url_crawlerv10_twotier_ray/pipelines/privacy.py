@@ -13,16 +13,22 @@
 
 Scale notes (100 TB): the benchmark gram set is the SMALL side by
 construction (eval suites are a few thousand documents) — it is collected
-once, broadcast via ``ray.put``, and membership-checked inside
-``map_batches``; the training corpus streams and never shuffles. At real
-scale the broadcast set should hold 64-bit gram hashes instead of strings
-(10× smaller); here raw gram strings keep the oracle comparison exact.
+once, broadcast via ``ray.put`` as a SORTED int64 array of 64-bit gram
+hashes (plasma zero-copy numpy; pickling a large Python set per actor is
+the slow broadcast), and membership-checked with ``np.searchsorted``
+inside ``map_batches`` — the heavy_hitters candidate-membership pattern
+(relational.py). The training corpus streams and never shuffles. Hashing
+both sides with the same 64-bit blake2b keeps counts identical to raw
+string membership up to a ~n_bench·n_doc_grams/2^64 collision probability
+(≈1e-5 even at sf0.1 scale) — the oracle hash gate measures this at 0.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -134,6 +140,24 @@ def mint_decontam_oracle(
     return out
 
 
+def _gram_hash64(g: str) -> int:
+    """Stable 64-bit gram hash (blake2b-8, signed little-endian int64) —
+    process/session-stable, shared by the benchmark and corpus sides."""
+    return int.from_bytes(
+        hashlib.blake2b(g.encode(), digest_size=8).digest(),
+        "little", signed=True)
+
+
+def _batch_gram_hash_arrays(t: pa.Table) -> list[np.ndarray]:
+    """Per-doc DISTINCT gram-hash arrays for one batch (the broadcast
+    membership form of _batch_gram_sets — same pinned gram spec)."""
+    return [
+        np.fromiter((_gram_hash64(g) for g in s), dtype=np.int64,
+                    count=len(s))
+        for s in _batch_gram_sets(t)
+    ]
+
+
 def _batch_gram_sets(t: pa.Table) -> list[set[str]]:
     """Engine-side per-doc gram sets for one batch: words via Arrow
     whitespace split (empty tokens dropped — Python str.split semantics),
@@ -185,33 +209,41 @@ def decontaminate(sf_dir: str) -> pd.DataFrame:
         })
 
     def bench_grams(t: pa.Table) -> pa.Table:
-        import numpy as np
-
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         sub = t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
-        grams = sorted(set().union(*_batch_gram_sets(sub), set()))
-        return pa.table({"gram": pa.array(grams, pa.string())})
+        arrs = _batch_gram_hash_arrays(sub)
+        flat = (np.unique(np.concatenate(arrs)) if arrs
+                else np.zeros(0, np.int64))
+        return pa.table({"gh": pa.array(flat, pa.int64())})
 
-    # SMALL side: eval suites are tiny by construction — distinct grams
-    # collect to the driver once and broadcast via plasma
-    bench_tbls = (
-        docs.map_batches(bench_grams, batch_format="pyarrow")
-        .take_all()
+    # SMALL side: eval suites are tiny by construction — distinct gram
+    # hashes collect to the driver once and broadcast as ONE sorted int64
+    # array (plasma zero-copy; searchsorted membership in the hot map)
+    bench_tbl = (
+        docs.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
     )
-    bench_set = frozenset(r["gram"] for r in bench_tbls)
-    bench_ref = ray.put(bench_set)
+    bench_arr = np.unique(bench_tbl["gh"].to_numpy(dtype=np.int64))
+    bench_ref = ray.put(bench_arr)
 
     def check(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        bset = ray.get(bench_ref)
+        a = ray.get(bench_ref)  # sorted int64 hash array (zero-copy)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         is_bench = (ids % DECONTAM_BENCH_MOD) == 0
-        gsets = _batch_gram_sets(t)
-        n_shared = np.fromiter(
-            (0 if b else len(g & bset)
-             for b, g in zip(is_bench, gsets)),
-            dtype=np.int64, count=len(ids))
+        arrs = _batch_gram_hash_arrays(t)
+        lens = np.fromiter((len(x) for x in arrs), np.int64,
+                           count=len(arrs))
+        flat = (np.concatenate(arrs) if len(arrs)
+                else np.zeros(0, np.int64))
+        doc_idx = np.repeat(np.arange(len(arrs)), lens)
+        if len(a) and len(flat):
+            pos = np.searchsorted(a, flat)
+            pos[pos >= len(a)] = 0
+            hit = a[pos] == flat
+        else:
+            hit = np.zeros(len(flat), bool)
+        n_shared = np.bincount(doc_idx[hit], minlength=len(ids)).astype(
+            np.int64)
+        n_shared[is_bench] = 0
         return pa.table(
             {
                 "doc_id": t["doc_id"],

@@ -41,6 +41,20 @@ def read_pages(corpus_dir: str, columns: list[str] | None = None) -> rd.Dataset:
 BUCKETED_PAGES_VERSION = "v1"  # bump when key_bucket or the layout changes
 
 
+def corpus_stamp(corpus_dir: str) -> str:
+    """Content of the corpus writer's ``_SUCCESS`` parameter stamp, or ''
+    for externally-produced corpora. Derived layouts (the hash-bucket
+    pages and the persisted link graph) record this in their meta and
+    rebuild on mismatch — ``corpus.write_corpus`` regenerates pages/ IN
+    PLACE when its parameters change, which would otherwise leave a
+    derived layout silently serving stale page bodies."""
+    try:
+        with open(os.path.join(corpus_dir, "_SUCCESS")) as f:
+            return f.read().strip()
+    except OSError:
+        return ""
+
+
 def key_bucket(keys, n_buckets: int):
     """Deterministic bucket id per fetch key — pandas' fixed-key siphash,
     bit-stable across processes, sessions and nodes (the property the
@@ -85,9 +99,14 @@ def bucketed_pages(corpus_dir: str) -> tuple[str, int]:
     root = os.path.join(
         os.path.dirname(pages), f"pages_by_key-{BUCKETED_PAGES_VERSION}")
     meta_path = os.path.join(root, "meta.json")
+    cstamp = corpus_stamp(os.path.dirname(pages))
     if os.path.exists(os.path.join(root, "_SUCCESS")):
         with open(meta_path) as f:
-            return root, int(json.load(f)["n_buckets"])
+            meta = json.load(f)
+        # a layout minted from a corpus that was since regenerated in
+        # place (different parameter stamp) is stale — rebuild
+        if meta.get("corpus_stamp", "") == cstamp:
+            return root, int(meta["n_buckets"])
 
     n_rows = pads.dataset(pages).count_rows()
     n_buckets = _bucket_count(n_rows)
@@ -123,7 +142,7 @@ def bucketed_pages(corpus_dir: str) -> tuple[str, int]:
     )
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump({"n_buckets": n_buckets, "n_rows": n_rows,
-                   "buckets_written": written}, f)
+                   "buckets_written": written, "corpus_stamp": cstamp}, f)
     open(os.path.join(tmp, "_SUCCESS"), "w").close()
     try:
         shutil.rmtree(root, ignore_errors=True)

@@ -491,6 +491,7 @@ class LocalBucketJoin:
     def __call__(self, g: pa.Table) -> pa.Table:
         import os
 
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         if g.num_rows == 0:
@@ -498,32 +499,17 @@ class LocalBucketJoin:
         b = g["bucket"][0].as_py()
         g = g.drop_columns(["bucket"])
         d = os.path.join(self.root, f"bucket={b}")
-        idx: dict = {}
-        html_col = None
-        if os.path.isdir(d):
-            pages = pq.read_table(d, columns=["url", "html"])
-            idx = {u: i for i, u in enumerate(pages["url"].to_pylist())}
-            html_col = pages["html"].combine_chunks()
-        keys = g["fetch_key"].to_pylist()
-        hit_rows = [i for i, k in enumerate(keys) if k in idx]
-        miss_rows = [i for i, k in enumerate(keys) if k not in idx]
-        parts = []
-        if hit_rows:
-            gh = g.take(pa.array(hit_rows, pa.int64()))
-            gh = gh.append_column(
-                "html",
-                html_col.take(
-                    pa.array([idx[keys[i]] for i in hit_rows], pa.int64())),
-            )
-            parts.append(self.inner(gh))
-        if miss_rows:
-            gm = g.take(pa.array(miss_rows, pa.int64()))
-            gm = gm.append_column(
-                "html", pa.nulls(len(miss_rows), pa.binary()))
-            parts.append(self.inner(gm))
-        if not parts:
-            return FETCHED_SCHEMA.empty_table()
-        return pa.concat_tables(parts, promote_options="default")
+        if not os.path.isdir(d):
+            g = g.append_column("html", pa.nulls(g.num_rows, pa.binary()))
+            return self.inner(g)
+        # vectorized left-outer lookup: index_in gives each frontier key its
+        # bucket row (null = miss), one null-propagating take attaches html
+        # (null html → 404 in ExtractJoined) — no per-row Python on the
+        # steady-state hot path
+        pages = pq.read_table(d, columns=["url", "html"])
+        idx = pc.index_in(g["fetch_key"], value_set=pages["url"])
+        g = g.append_column("html", pages["html"].combine_chunks().take(idx))
+        return self.inner(g)
 
 
 class ExtractJoined:

@@ -163,3 +163,43 @@ def test_offer_fence_raises_loudly_on_stalled_stream():
             wait_offers_received(h, "norm", 5, timeout=0.3)
     finally:
         seen.kill()
+
+
+def test_budget_mark_partition_matches_group_spec():
+    """The vectorized multi-host partition kernel must reproduce the
+    per-host executable spec (_budget_mark_group) exactly — rows, order
+    within host, and the sched flag — for every budget shape: explicit
+    budget, default budget, and unlimited (b <= 0)."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.crawl import (
+        _budget_mark_group,
+        _budget_mark_partition,
+    )
+
+    rng = np.random.RandomState(11)
+    hosts = [f"h{i}.test" for i in range(9)]
+    rows = []
+    for i in range(800):
+        h = hosts[rng.randint(len(hosts))]
+        u = f"http://{h}/p{rng.randint(300)}?v={i}"
+        rows.append(
+            {"url": u, "url_norm": u.split("?")[0].lower(), "host": h,
+             "depth": int(rng.randint(5)), "priority": int(rng.randint(3))}
+        )
+    df = pd.DataFrame(rows).drop_duplicates("url").reset_index(drop=True)
+    for budgets, default in [
+        ({"h0.test": 5, "h1.test": 0, "h2.test": 1}, 7),
+        ({}, 0),           # unlimited everywhere
+        ({}, 3),           # default-only
+        ({h: 2 for h in hosts}, 0),
+    ]:
+        spec = pd.concat(
+            [_budget_mark_group(g, budgets, default)
+             for _, g in df.groupby("host", sort=True)],
+            ignore_index=True,
+        )
+        got = _budget_mark_partition(df, budgets, default).reset_index(
+            drop=True)
+        key = ["host", "priority", "url_norm", "url"]
+        spec = spec.sort_values(key, ascending=[True, False, True, True],
+                                kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, spec)

@@ -109,3 +109,37 @@ def test_substring_empty_input(tmp_path):
     assert list(out.columns) == ["doc_id", "n_tokens", "n_grams",
                                  "n_dup_grams", "dup_tokens", "dup_bp"]
     assert all(str(t) == "int64" for t in out.dtypes)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_within_doc_repeat_straddling_block_split_not_double_counted(
+        tmp_path):
+    """Boundary-proofness (ADVICE r4): Ray splits map outputs at
+    target_max_block_size at ARBITRARY row boundaries, so the two
+    occurrences of a within-doc repeated gram can land in different
+    batches of the doc-frequency pass. Global pair-distinctness must be
+    re-established in the merge — a per-batch-only distinct would count
+    n_docs=2 for a gram that lives in ONE doc and falsely mark it
+    duplicated. The repeats here are separated by ~12k filler words
+    (~290 KB of gram rows) and the block cap is forced down to 16 KiB, so
+    the straddle is guaranteed."""
+    from ray.data import DataContext
+
+    rep = [f"rep{i:02d}" for i in range(SUBSTR_K)]
+    filler = [f"fill{i:05d}" for i in range(12_000)]
+    texts = [
+        " ".join(rep + filler + rep),            # doc 0: repeat, far apart
+        " ".join(f"other{i:04d}" for i in range(40)),   # doc 1: unrelated
+    ]
+    sf = _write_docs(tmp_path, texts)
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        for mode in ("driver", "distributed"):
+            out = dedup_substring(sf, mode=mode)
+            assert out["n_dup_grams"].sum() == 0, (mode, out)
+            assert out["dup_tokens"].sum() == 0, (mode, out)
+    finally:
+        ctx.target_max_block_size = old
