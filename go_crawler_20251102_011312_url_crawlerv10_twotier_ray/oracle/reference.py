@@ -279,13 +279,26 @@ def sanitize_filename(name: str) -> str:
     return name
 
 
-def extract_filename(doc_url: str, default_stem: str = "download") -> str:
-    """utils.ExtractFilename (utils/utils.go:34-57) without headers.
+def extract_filename(doc_url: str, default_stem: str = "download",
+                     content_disposition: str | None = None) -> str:
+    """utils.ExtractFilename (utils/utils.go:34-57), INCLUDING the header
+    branch (utils.go:35-44): a ``Content-Disposition: attachment;
+    filename=...`` header wins over the URL path — exactly the prefix
+    match + quote trim the reference does (``inline; ...`` or any other
+    shape falls through to the URL). Corpus-mode lanes have no response
+    headers and pass None; ``fetch_mode="http"`` threads the real header
+    through (DownloadHttp).
 
     The reference falls back to ``download_<UnixNano>`` — nondeterministic;
     we substitute a caller-provided deterministic stem (documented deviation;
     filenames are a reporting concern, not part of the byte-identical gate).
     """
+    if content_disposition:
+        prefix = "attachment; filename="
+        if content_disposition.startswith(prefix):
+            fn = content_disposition[len(prefix):].strip('"')
+            if fn:
+                return sanitize_filename(fn)
     segments = doc_url.split("/")
     filename = segments[-1]
     idx = filename.find("?")

@@ -411,7 +411,10 @@ class DownloadHttp:
     """fetch_mode="http" download lane: one real GET per attempt
     (downloader.go:184-222). ok iff HTTP 200; bytes is the (capped) body
     length — the engine records sizes rather than writing files, matching
-    DownloadSim's contract. Stateful actor: client built once per actor."""
+    DownloadSim's contract. Stateful actor: client built once per actor.
+    Filenames honor the reference's Content-Disposition branch
+    (utils.go:35-44): an ``attachment; filename=`` response header wins
+    over the URL path — the one lane where real headers exist."""
 
     def __init__(self, cfg: CrawlConfig):
         from ..stages.fetch import default_http_client
@@ -421,9 +424,11 @@ class DownloadHttp:
         self.fetch = factory(cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.fetch import fetch_result
+
         urls = batch["url"].to_pylist()
-        got = [self.fetch(u) for u in urls]
-        oks = [s == 200 and b is not None for s, b in got]
+        got = [fetch_result(self.fetch(u)) for u in urls]
+        oks = [s == 200 and b is not None for s, b, _h in got]
         return pa.table(
             {
                 "url": batch["url"],
@@ -431,11 +436,16 @@ class DownloadHttp:
                 "attempt": batch["attempt"],
                 "ok": pa.array(oks, pa.bool_()),
                 "bytes": pa.array(
-                    [len(b) if ok else 0 for ok, (_, b) in zip(oks, got)],
+                    [len(b) if ok else 0
+                     for ok, (_, b, _h) in zip(oks, got)],
                     pa.int64(),
                 ),
                 "filename": pa.array(
-                    [extract_filename(u) for u in urls], pa.string()
+                    [extract_filename(
+                        u, content_disposition=(h or {}).get(
+                            "content-disposition"))
+                     for u, (_, _, h) in zip(urls, got)],
+                    pa.string(),
                 ),
             }
         )

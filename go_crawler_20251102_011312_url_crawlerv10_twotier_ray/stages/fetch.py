@@ -399,10 +399,15 @@ def add_fetch_key(batch: pa.Table) -> pa.Table:
 def default_http_client(cfg: CrawlConfig):
     """Real-network HTTP client (reference: crawler_twotier.go:52-80 colly
     collector; downloader.go:184-222 http.Get): ``fetch(url) -> (status,
-    body | None)``. Built once per fetch ACTOR so the opener and headers
-    are reused across batches like colly's pinned clients. Non-2xx and
-    transport failures return no body; connection-level errors map to
-    status 0 (they have no HTTP status)."""
+    body | None, headers | None)``. Built once per fetch ACTOR so the
+    opener and headers are reused across batches like colly's pinned
+    clients. Non-2xx and transport failures return no body;
+    connection-level errors map to status 0 (they have no HTTP status).
+    Headers ship as a tiny lowercase-keyed dict holding just what the
+    engine consumes (Content-Disposition for the reference's filename
+    branch, utils.go:35-44). Pluggable factories may return plain
+    ``(status, body)`` 2-tuples — call sites normalize via
+    ``fetch_result``."""
     import urllib.error
     import urllib.request
 
@@ -414,13 +419,25 @@ def default_http_client(cfg: CrawlConfig):
             with opener.open(url, timeout=cfg.http_timeout_s) as r:
                 # colly caps via a limited reader: oversized bodies are
                 # TRUNCATED at the cap, not dropped (crawler_twotier.go:57)
-                return (r.status or 200), r.read(cfg.max_body_bytes)
+                hdrs = {}
+                cd = r.headers.get("Content-Disposition")
+                if cd:
+                    hdrs["content-disposition"] = cd
+                return (r.status or 200), r.read(cfg.max_body_bytes), hdrs
         except urllib.error.HTTPError as e:
-            return e.code, None
+            return e.code, None, None
         except Exception:
-            return 0, None
+            return 0, None, None
 
     return fetch
+
+
+def fetch_result(res) -> tuple[int, bytes | None, dict | None]:
+    """Normalize a pluggable client's return value: legacy ``(status,
+    body)`` 2-tuples gain a None headers slot."""
+    if len(res) == 2:
+        return res[0], res[1], None
+    return res
 
 
 class HttpFetch:
@@ -454,7 +471,7 @@ class HttpFetch:
                 statuses.append(304)
                 bodies.append(None)
                 continue
-            st, body = self.fetch(u)
+            st, body, _hdrs = fetch_result(self.fetch(u))
             if st == 200 and body is not None:
                 statuses.append(200)
                 bodies.append(body)

@@ -49,6 +49,16 @@ class _CorpusHandler(BaseHTTPRequestHandler):
                 self.end_headers()
                 return
             self.send_response(200)
+            if self.path.startswith("/cd-attach"):
+                # header names the file (reference branch utils.go:35-44)
+                self.send_header(
+                    "Content-Disposition",
+                    'attachment; filename="Quarterly: Report.pdf"')
+            elif self.path.startswith("/cd-inline"):
+                # NON-attachment disposition: reference falls through to
+                # the URL path
+                self.send_header(
+                    "Content-Disposition", 'inline; filename="nope.pdf"')
             self.end_headers()
             self.wfile.write(self.plain_body)
             return
@@ -138,10 +148,62 @@ def test_default_http_client_real_socket(http_corpus):
     _, port = http_corpus
     cfg = CrawlConfig(max_body_bytes=100)
     fetch = default_http_client(cfg)
-    st, body = fetch(f"http://127.0.0.1:{port}/page")
+    st, body, hdrs = fetch(f"http://127.0.0.1:{port}/page")
     assert st == 200
     assert body == _CorpusHandler.plain_body[:100]  # truncated at the cap
-    st, body = fetch(f"http://127.0.0.1:{port}/missing")
-    assert st == 404 and body is None
-    st, body = fetch("http://127.0.0.1:1/unreachable")  # refused conn
-    assert st == 0 and body is None
+    assert hdrs == {}  # no Content-Disposition served on this route
+    st, body, hdrs = fetch(f"http://127.0.0.1:{port}/missing")
+    assert st == 404 and body is None and hdrs is None
+    st, body, hdrs = fetch("http://127.0.0.1:1/unreachable")  # refused conn
+    assert st == 0 and body is None and hdrs is None
+
+
+def test_content_disposition_names_http_downloads(http_corpus):
+    """utils.go:35-44: an ``attachment; filename=`` response header wins
+    over the URL path (quotes trimmed, result sanitized); any other
+    disposition shape falls through to the URL filename. Exercised over a
+    REAL socket through the http-mode download lane."""
+    import pyarrow as pa
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.crawl import (
+        DownloadHttp,
+    )
+
+    _, port = http_corpus
+    dl = DownloadHttp(CrawlConfig())
+    base = f"http://127.0.0.1:{port}"
+    batch = pa.table(
+        {
+            "url": pa.array([f"{base}/cd-attach/from_url.bin",
+                             f"{base}/cd-inline/from_url.pdf",
+                             f"{base}/plain/from_url.pdf"]),
+            "depth": pa.array([0, 0, 0], pa.int32()),
+            "attempt": pa.array([0, 0, 0], pa.int32()),
+        }
+    )
+    out = dl(batch)
+    assert out["ok"].to_pylist() == [True, True, True]
+    # ':' sanitized to '_' exactly like utils.SanitizeFilename
+    assert out["filename"].to_pylist() == [
+        "Quarterly_ Report.pdf", "from_url.pdf", "from_url.pdf"]
+
+
+def test_extract_filename_header_branch_semantics():
+    """Pure-function parity with utils.ExtractFilename's header branch:
+    prefix-exact, quote-trimmed, empty header filename falls through."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.oracle.reference import (
+        extract_filename,
+    )
+
+    u = "http://h.test/docs/paper.pdf"
+    assert extract_filename(
+        u, content_disposition='attachment; filename="r:1.pdf"') == "r_1.pdf"
+    assert extract_filename(
+        u, content_disposition="attachment; filename=bare.pdf") == "bare.pdf"
+    # empty filename after the quote trim -> URL path fallback
+    assert extract_filename(
+        u, content_disposition='attachment; filename=""') == "paper.pdf"
+    # non-attachment disposition shapes are ignored by the reference
+    assert extract_filename(
+        u, content_disposition='inline; filename="x.pdf"') == "paper.pdf"
+    assert extract_filename(u, content_disposition=None) == "paper.pdf"
