@@ -1687,58 +1687,77 @@ def _download_lane(new_tasks, pending_retry, cfg, mode, corpus_ref,
 def _download_local(d_tbl: pa.Table, pages_path: str,
                     cfg: CrawlConfig) -> pa.Table | None:
     """Join/scan-mode download simulation via the corpus' hash-bucket
-    layout: doc keys shuffle to their buckets and each task reads ONLY its
-    bucket's (url, blen) columns — replacing the whole-corpus scan
-    ``_download_join`` paid every epoch (measured 5.4 s/epoch at sf0.1 for
-    a few hundred docs). Same left-outer semantics: a key absent from its
-    bucket is a failed download."""
+    layout: each task reads ONLY its doc keys' buckets' (url, blen)
+    columns — replacing the whole-corpus scan ``_download_join`` paid
+    every epoch (measured 5.4 s/epoch at sf0.1 for a few hundred docs).
+    Same left-outer semantics: a key absent from its bucket is a failed
+    download.
+
+    NO shuffle: the doc keys already live on the driver (the retry lane
+    assembles them there), so bucket grouping is one driver-side argsort
+    over the tiny key table + a contiguous split — a
+    groupby("bucket").map_groups here paid a full Ray all-to-all plus
+    ~n_buckets task launches per epoch for a few hundred rows (measured
+    8-19 s/epoch at sf0.1: the r4 crawl_scan_steady regression)."""
     from ..sources.pages import bucketed_pages, key_bucket
 
     root, n_buckets = bucketed_pages(pages_path)
     fks = [fetch_key(u) or "" for u in d_tbl["url"].to_pylist()]
     t = d_tbl.append_column("fetch_key", pa.array(fks, pa.string()))
-    t = t.append_column("bucket", pa.array(key_bucket(fks, n_buckets)))
+    buckets = np.asarray(key_bucket(fks, n_buckets))
+    t = t.append_column("bucket", pa.array(buckets))
+    order = np.argsort(buckets, kind="stable")
+    t = t.take(pa.array(order, pa.int64()))
     d_ds = rd.from_arrow(t)
-    if t.num_rows > 16384:
-        d_ds = d_ds.repartition(max(2, t.num_rows // 8192))
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    n_blocks = max(1, min(ncpu, t.num_rows // 64 + 1,
+                          len(np.unique(buckets)) or 1))
+    if n_blocks > 1:
+        d_ds = d_ds.repartition(n_blocks)
 
     def fetch_blen(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        b = g["bucket"][0].as_py()
-        d = os.path.join(root, f"bucket={b}")
-        if os.path.isdir(d):
-            # vectorized lookup against the bucket's (url, blen) columns:
-            # index_in → null-propagating take (the LocalBucketJoin pattern)
-            # instead of a per-group Python dict + per-row .get
-            pb = pq.read_table(d, columns=["url", "blen"])
-            idx = pc.index_in(g["fetch_key"], value_set=pb["url"])
-            blen = pb["blen"].combine_chunks().take(idx)
-            ok = pc.is_valid(idx)
-            nbytes = pc.fill_null(blen, 0).cast(pa.int64())
-        else:
-            ok = pa.array(np.zeros(g.num_rows, bool))
-            nbytes = pa.array(np.zeros(g.num_rows, np.int64))
-        urls = g["url"].to_pylist()
-        return pa.table(
-            {
-                "url": g["url"],
-                "depth": g["depth"],
-                "attempt": g["attempt"],
-                "ok": ok.combine_chunks() if isinstance(
-                    ok, pa.ChunkedArray) else ok,
-                "bytes": nbytes.combine_chunks() if isinstance(
-                    nbytes, pa.ChunkedArray) else nbytes,
-                "filename": pa.array(
-                    [extract_filename(u) for u in urls], pa.string()
-                ),
-            }
-        )
+        # a batch holds a CONTIGUOUS bucket range (bucket-sorted upstream):
+        # per unique bucket, one pruned parquet read + the vectorized
+        # index_in → null-propagating take lookup (LocalBucketJoin pattern)
+        parts = []
+        for b in pc.unique(g["bucket"]).to_pylist():
+            sub = g.filter(pc.equal(g["bucket"], b))
+            d = os.path.join(root, f"bucket={b}")
+            if os.path.isdir(d):
+                pb = pq.read_table(d, columns=["url", "blen"])
+                idx = pc.index_in(sub["fetch_key"], value_set=pb["url"])
+                blen = pb["blen"].combine_chunks().take(idx)
+                ok = pc.is_valid(idx)
+                nbytes = pc.fill_null(blen, 0).cast(pa.int64())
+            else:
+                ok = pa.array(np.zeros(sub.num_rows, bool))
+                nbytes = pa.array(np.zeros(sub.num_rows, np.int64))
+            urls = sub["url"].to_pylist()
+            parts.append(pa.table(
+                {
+                    "url": sub["url"],
+                    "depth": sub["depth"],
+                    "attempt": sub["attempt"],
+                    "ok": ok.combine_chunks() if isinstance(
+                        ok, pa.ChunkedArray) else ok,
+                    "bytes": nbytes.combine_chunks() if isinstance(
+                        nbytes, pa.ChunkedArray) else nbytes,
+                    "filename": pa.array(
+                        [extract_filename(u) for u in urls], pa.string()
+                    ),
+                }
+            ))
+        if not parts:
+            return _empty_downloads(0).drop_columns(["epoch"])
+        return pa.concat_tables(parts, promote_options="default")
 
-    return _collect(
-        d_ds.groupby("bucket").map_groups(fetch_blen, batch_format="pyarrow")
-    )
+    return _collect(d_ds.map_batches(fetch_blen, batch_format="pyarrow"))
 
 
 def _download_join(d_tbl: pa.Table, pages_path: str, cfg: CrawlConfig) -> pa.Table | None:
