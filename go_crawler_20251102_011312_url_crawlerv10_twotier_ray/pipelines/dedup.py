@@ -240,6 +240,11 @@ def _verify_pairs_table(t: pa.Table) -> pa.Table:
 # 5M rows ≈ 80 MB — comfortably driver-sized; past it, every step stays
 # distributed (count shuffle → map_groups pair-gen → join verify).
 MINHASH_SMALL_LIMIT = 5_000_000
+# distributed tail: candidate-DOC count below which the verify side
+# broadcasts the packed-shingle table (index_in gather in one map) instead
+# of two hash-join exchanges; above it the join twin runs (equality-tested
+# by forcing the limit to 0 in tests)
+MINHASH_VERIFY_BROADCAST_LIMIT = 500_000
 
 
 def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
@@ -330,22 +335,55 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         return pd.DataFrame(columns=list(_EMPTY_PAIRS)).astype(_EMPTY_PAIRS)
 
     # verify via join: shingle sets for candidate docs only (the candidate
-    # id set is ids-only and ≪ corpus; the TEXTS never leave the workers)
-    ids_a = cand.select_columns(["doc_a"]).rename_columns(["doc_id"])
-    ids_b = cand.select_columns(["doc_b"]).rename_columns(["doc_id"])
-    need_ids = ids_a.union(ids_b).unique("doc_id")
-    need_ref = ray.put(pa.array(sorted(need_ids), pa.int64()))
-    sh_ds = _packed_shingles_ds(sf_dir, need_ref).materialize()  # 2 joins
-    n_part = max(4, min(1024, cand.count() // 250_000 + 1))
-    j1 = cand.join(
-        sh_ds.rename_columns({"doc_id": "doc_a", "sh": "sh_a"}),
-        join_type="inner", num_partitions=n_part, on=("doc_a",),
-    )
-    j2 = j1.join(
-        sh_ds.rename_columns({"doc_id": "doc_b", "sh": "sh_b"}),
-        join_type="inner", num_partitions=n_part, on=("doc_b",),
-    )
-    out = j2.map_batches(_verify_pairs_table, batch_format="pyarrow").to_pandas()
+    # id set is ids-only and ≪ corpus; the TEXTS never leave the workers).
+    # cand is already materialized — its id columns collect to the driver
+    # either way (Dataset.unique returns a driver list), so np.unique over
+    # the two columns replaces a union+unique exchange with zero shuffles.
+    cand_ids = cand.select_columns(["doc_a", "doc_b"]).to_pandas()
+    need_ids = np.unique(np.concatenate(
+        [cand_ids["doc_a"].to_numpy(np.int64),
+         cand_ids["doc_b"].to_numpy(np.int64)]))
+    need_ref = ray.put(pa.array(need_ids, pa.int64()))
+    if len(need_ids) <= MINHASH_VERIFY_BROADCAST_LIMIT:
+        # candidate-doc shingle table fits a broadcast: attach sh_a/sh_b
+        # by index_in gather inside ONE distributed map over the pair
+        # Dataset — replaces two hash-join exchanges whose fixed cost
+        # (~2.8 s at sf0.1) dwarfs a few hundred pairs. Above the limit
+        # the join twin below is the shape that scales (equality-tested).
+        sh_tbl = pa.concat_tables(
+            [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+             for t in ray.get(_packed_shingles_ds(sf_dir, need_ref)
+                              .to_arrow_refs())]
+        ).combine_chunks()
+        sh_ref = ray.put(sh_tbl)
+
+        def attach_and_verify(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc2
+
+            from ..stages.fetch import cached_broadcast
+
+            sh = cached_broadcast(sh_ref)
+            ia = pc2.index_in(t["doc_a"], value_set=sh["doc_id"])
+            ib = pc2.index_in(t["doc_b"], value_set=sh["doc_id"])
+            t = t.append_column("sh_a", sh["sh"].take(ia))
+            t = t.append_column("sh_b", sh["sh"].take(ib))
+            return _verify_pairs_table(t)
+
+        out = cand.map_batches(
+            attach_and_verify, batch_format="pyarrow").to_pandas()
+    else:
+        sh_ds = _packed_shingles_ds(sf_dir, need_ref).materialize()
+        n_part = max(4, min(1024, cand.count() // 250_000 + 1))
+        j1 = cand.join(
+            sh_ds.rename_columns({"doc_id": "doc_a", "sh": "sh_a"}),
+            join_type="inner", num_partitions=n_part, on=("doc_a",),
+        )
+        j2 = j1.join(
+            sh_ds.rename_columns({"doc_id": "doc_b", "sh": "sh_b"}),
+            join_type="inner", num_partitions=n_part, on=("doc_b",),
+        )
+        out = j2.map_batches(
+            _verify_pairs_table, batch_format="pyarrow").to_pandas()
     if not len(out):
         return pd.DataFrame(columns=list(_EMPTY_PAIRS)).astype(_EMPTY_PAIRS)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -94,6 +94,23 @@ def test_minhash_lsh_distributed_mode_matches_driver_mode(planted_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_join_verify_matches_broadcast_verify(
+        planted_dir, monkeypatch):
+    """The distributed tail's verify side is size-adaptive: broadcast
+    shingle gather below MINHASH_VERIFY_BROADCAST_LIMIT candidate docs,
+    two hash joins above. Force the JOIN twin (limit -> -1) and assert it
+    returns exactly the broadcast path's pairs."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
+        dedup,
+    )
+
+    bcast = dedup.dedup_minhash_lsh(planted_dir, mode="distributed")
+    monkeypatch.setattr(dedup, "MINHASH_VERIFY_BROADCAST_LIMIT", -1)
+    joined = dedup.dedup_minhash_lsh(planted_dir, mode="distributed")
+    pd.testing.assert_frame_equal(bcast, joined)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_minhash_lsh_distributed_recall_at_sf01(tmp_path):
     """Planted-near-dup recall for the DISTRIBUTED tail at sf0.1 scale
     (5k real docs + 20 planted one-word-changed near-dups): the constants
