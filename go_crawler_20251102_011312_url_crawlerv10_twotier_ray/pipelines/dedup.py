@@ -240,11 +240,15 @@ def _verify_pairs_table(t: pa.Table) -> pa.Table:
 # 5M rows ≈ 80 MB — comfortably driver-sized; past it, every step stays
 # distributed (count shuffle → map_groups pair-gen → join verify).
 MINHASH_SMALL_LIMIT = 5_000_000
-# distributed tail: candidate-DOC count below which the verify side
-# broadcasts the packed-shingle table (index_in gather in one map) instead
-# of two hash-join exchanges; above it the join twin runs (equality-tested
-# by forcing the limit to 0 in tests)
+# distributed tail: the verify side broadcasts the packed-shingle table
+# (index_in gather in one map) instead of two hash-join exchanges when BOTH
+# the candidate-doc count and the table's actual BYTES are small; above
+# either bound the join twin runs (equality-tested by forcing the limit to
+# 0 in tests). The byte bound is the binding one — broadcast cost is the
+# shingle payload (driver concat + ray.put + one plasma copy), not the doc
+# count, and 500k docs × a few KB of shingles each is multi-GB.
 MINHASH_VERIFY_BROADCAST_LIMIT = 500_000
+MINHASH_VERIFY_BROADCAST_BYTES = 256 * 1024 * 1024
 
 
 def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
@@ -344,7 +348,13 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         [cand_ids["doc_a"].to_numpy(np.int64),
          cand_ids["doc_b"].to_numpy(np.int64)]))
     need_ref = ray.put(pa.array(need_ids, pa.int64()))
-    if len(need_ids) <= MINHASH_VERIFY_BROADCAST_LIMIT:
+    # shingle sets for the candidate ids — computed where the texts live,
+    # materialized ONCE and consumed by whichever verify twin runs (the
+    # materialized size is also what the broadcast gate must bound: the
+    # cost of the broadcast is shingle BYTES, not candidate-doc count)
+    sh_ds = _packed_shingles_ds(sf_dir, need_ref).materialize()
+    if (len(need_ids) <= MINHASH_VERIFY_BROADCAST_LIMIT
+            and sh_ds.size_bytes() <= MINHASH_VERIFY_BROADCAST_BYTES):
         # candidate-doc shingle table fits a broadcast: attach sh_a/sh_b
         # by index_in gather inside ONE distributed map over the pair
         # Dataset — replaces two hash-join exchanges whose fixed cost
@@ -352,8 +362,7 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         # the join twin below is the shape that scales (equality-tested).
         sh_tbl = pa.concat_tables(
             [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-             for t in ray.get(_packed_shingles_ds(sf_dir, need_ref)
-                              .to_arrow_refs())]
+             for t in ray.get(sh_ds.to_arrow_refs())]
         ).combine_chunks()
         sh_ref = ray.put(sh_tbl)
 
@@ -372,7 +381,6 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         out = cand.map_batches(
             attach_and_verify, batch_format="pyarrow").to_pandas()
     else:
-        sh_ds = _packed_shingles_ds(sf_dir, need_ref).materialize()
         n_part = max(4, min(1024, cand.count() // 250_000 + 1))
         j1 = cand.join(
             sh_ds.rename_columns({"doc_id": "doc_a", "sh": "sh_a"}),
@@ -1344,9 +1352,14 @@ def dedup_substring(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     Scale shape: ONE tokenizing pass over the corpus emits gram rows of
     24 bytes (doc, pos, 48-bit hash) — never text — plus per-doc stat
     rows (pos=-1) carrying doc length; the row stream is materialized
-    once and reused. Doc-frequency is a per-batch distinct partial
-    (docs never split across batches, so per-batch distinct (gh, doc)
-    pairs are globally unique). Below SUBSTR_DRIVER_LIMIT gram rows the
+    once and reused. Doc-frequency is a per-batch distinct partial that
+    is NOT assumed globally distinct — Ray splits oversized map outputs
+    at arbitrary row boundaries, so a within-doc repeat can straddle a
+    block split and the same (gh, doc) pair can surface from two batches;
+    global distinctness is re-established in the merge (driver
+    drop_duplicates / hash(gh)-co-partitioned distinct+count — the
+    straddle regression test pins this). Below SUBSTR_DRIVER_LIMIT gram
+    rows the
     partials merge on the driver and the duplicated-hash set broadcasts
     (sorted-array searchsorted membership, coverage islands merged in
     one driver numpy pass — Ray's all-to-all fixed cost dwarfs these

@@ -62,7 +62,10 @@ GRAPH_DERIVE_VERSION = "v1"
 
 # the graph queries share one derived (nodes, edges) pair per corpus —
 # extraction over the whole corpus is the expensive part (same pattern as
-# crawl_queries._CRAWL_CACHE; at most one corpus cached)
+# crawl_queries._CRAWL_CACHE; at most one corpus cached). Entries are
+# (corpus_stamp, (nodes, edges, n_nodes)): the stamp is re-checked on every
+# hit so an in-place corpus regeneration invalidates the in-memory cache
+# the same way it invalidates the on-disk derived layout.
 _GRAPH_CACHE: dict[str, tuple] = {}
 
 
@@ -132,19 +135,21 @@ def _edge_tables(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset, int]:
     cached per corpus. Nodes/edges are normalized inside map_batches with
     the per-worker memo cache (stages/candidates._norm_cached — hub links
     repeat massively)."""
-    from ..sources.pages import read_pages
+    from ..sources.pages import corpus_stamp, read_pages
     from ..stages.candidates import _norm_cached
     from ..stages.extract import RouteAndExtract
     from .crawl_queries import corpus_for
     from ._schema import heal_blocks
 
     cdir = corpus_for(sf_dir)
-    if cdir in _GRAPH_CACHE:
-        return _GRAPH_CACHE[cdir]
+    stamp = corpus_stamp(cdir)
+    cached = _GRAPH_CACHE.get(cdir)
+    if cached is not None and cached[0] == stamp:
+        return cached[1]
     loaded = _load_derived_graph(cdir)
     if loaded is not None:
         _GRAPH_CACHE.clear()
-        _GRAPH_CACHE[cdir] = loaded
+        _GRAPH_CACHE[cdir] = (stamp, loaded)
         return loaded
     cfg = CrawlConfig()
 
@@ -210,7 +215,7 @@ def _edge_tables(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset, int]:
     edges = edges.materialize()
     _persist_derived_graph(cdir, nodes, edges, n_nodes)
     _GRAPH_CACHE.clear()
-    _GRAPH_CACHE[cdir] = (nodes, edges, n_nodes)
+    _GRAPH_CACHE[cdir] = (stamp, (nodes, edges, n_nodes))
     return nodes, edges, n_nodes
 
 

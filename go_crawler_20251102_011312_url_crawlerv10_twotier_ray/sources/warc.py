@@ -115,15 +115,23 @@ def write_warc(ds: rd.Dataset, out_dir: str,
 
     parts = ds.map_batches(dump, batch_format="pyarrow").take_all()
     written = {r["file"] for r in parts}
+    # Commit order matters for kill-safety: the manifest must point at the
+    # NEW (already fully-written) parts before anything is deleted, and the
+    # manifest swap itself must be atomic — a writer killed at any point
+    # leaves either the old complete manifest+parts or the new ones, never
+    # a manifest referencing purged files or truncated JSON.
+    mpath = os.path.join(out_dir, MANIFEST)
+    mtmp = mpath + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump({"files": sorted(written),
+                   "records": int(sum(r["records"] for r in parts))}, f)
+    os.replace(mtmp, mpath)
     # a prior run with a different block layout (or compression mode)
     # hashed to different file names — purge anything this run did not
     # write, plus killed-writer .tmp leftovers
     for p in glob.glob(os.path.join(out_dir, "part-*")):
         if os.path.basename(p) not in written:
             os.remove(p)
-    with open(os.path.join(out_dir, MANIFEST), "w") as f:
-        json.dump({"files": sorted(written),
-                   "records": int(sum(r["records"] for r in parts))}, f)
     open(os.path.join(out_dir, "_SUCCESS"), "w").close()
     return int(sum(r["records"] for r in parts))
 

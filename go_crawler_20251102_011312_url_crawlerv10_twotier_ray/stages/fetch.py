@@ -434,10 +434,16 @@ def default_http_client(cfg: CrawlConfig):
 
 def fetch_result(res) -> tuple[int, bytes | None, dict | None]:
     """Normalize a pluggable client's return value: legacy ``(status,
-    body)`` 2-tuples gain a None headers slot."""
+    body)`` 2-tuples gain a None headers slot, and header KEYS are
+    lowercased — downstream consumers (DownloadHttp's Content-Disposition
+    branch) look up lowercase keys only, and a user-supplied 3-tuple
+    factory naturally passes ``dict(r.headers)`` with canonical casing."""
     if len(res) == 2:
         return res[0], res[1], None
-    return res
+    status, body, headers = res
+    if headers:
+        headers = {k.lower(): v for k, v in headers.items()}
+    return status, body, headers
 
 
 class HttpFetch:

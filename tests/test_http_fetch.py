@@ -207,3 +207,21 @@ def test_extract_filename_header_branch_semantics():
     assert extract_filename(
         u, content_disposition='inline; filename="x.pdf"') == "paper.pdf"
     assert extract_filename(u, content_disposition=None) == "paper.pdf"
+
+
+def test_fetch_result_normalizes_arity_and_header_case():
+    """fetch_result is the single normalization choke point for pluggable
+    clients: legacy 2-tuples gain a None headers slot, and header keys are
+    lowercased — a user factory returning ``dict(r.headers)`` with
+    canonical casing must still hit DownloadHttp's lowercase
+    'content-disposition' lookup."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.stages.fetch import (
+        fetch_result,
+    )
+
+    assert fetch_result((404, None)) == (404, None, None)
+    assert fetch_result((200, b"x", None)) == (200, b"x", None)
+    st, body, h = fetch_result(
+        (200, b"x", {"Content-Disposition": 'attachment; filename="a.pdf"'}))
+    assert (st, body) == (200, b"x")
+    assert h == {"content-disposition": 'attachment; filename="a.pdf"'}

@@ -64,6 +64,36 @@ def test_bucketed_pages_self_invalidates_on_stamp_mismatch(tmp_path):
         assert json.load(f)["corpus_stamp"].endswith(":regenerated")
 
 
+def test_graph_cache_rechecks_corpus_stamp(tmp_path, monkeypatch):
+    """The in-memory _GRAPH_CACHE must re-validate the corpus stamp on
+    every hit — an in-place regeneration WITHIN one session (write_corpus
+    rmtree's the on-disk derived layout but can't see this dict) must not
+    be served the old graph."""
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
+        crawl_queries,
+        graph,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    os.makedirs(cdir)
+    with open(os.path.join(cdir, "_SUCCESS"), "w") as f:
+        f.write("v3:params-A")
+    monkeypatch.setattr(crawl_queries, "corpus_for", lambda s: cdir)
+    old = ("N-old", "E-old", 7)
+    graph._GRAPH_CACHE.clear()
+    graph._GRAPH_CACHE[cdir] = (corpus_stamp(cdir), old)
+    assert graph._edge_tables("any") == old  # stamp matches → cache hit
+
+    # in-place regeneration: same directory, new parameter stamp
+    with open(os.path.join(cdir, "_SUCCESS"), "w") as f:
+        f.write("v3:params-B")
+    fresh = ("N-new", "E-new", 9)
+    monkeypatch.setattr(graph, "_load_derived_graph", lambda c: fresh)
+    assert graph._edge_tables("any") == fresh  # stale entry NOT served
+    assert graph._GRAPH_CACHE[cdir] == (corpus_stamp(cdir), fresh)
+    graph._GRAPH_CACHE.clear()
+
+
 def test_derived_graph_meta_records_corpus_stamp(tmp_path):
     """_load_derived_graph refuses a graph whose recorded stamp mismatches
     the corpus (unit-level: exercise the load gate directly)."""
