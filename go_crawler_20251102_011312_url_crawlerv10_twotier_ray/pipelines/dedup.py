@@ -163,6 +163,80 @@ def _emit_vec_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
                                _EMB_BUCKET_CAP)
 
 
+def _emit_pairs_dedup(g: pd.DataFrame) -> pa.Table:
+    # within-partition pair dedup (one pair can collide in several keys of
+    # the same partition); cross-partition duplicates are the consumer's.
+    # Arrow return: map_groups' pandas blocks lose schema when empty and
+    # degrade downstream Projects/joins/aggregates — Arrow blocks don't.
+    return pa.Table.from_pandas(
+        _emit_pairs_partition(g).drop_duplicates(), preserve_index=False)
+
+
+def _emit_vec_pairs_dedup(g: pd.DataFrame) -> pa.Table:
+    return pa.Table.from_pandas(
+        _emit_vec_pairs_partition(g).drop_duplicates(), preserve_index=False)
+
+
+def _stamp_pair_part(n_part: int, a_col: str, b_col: str):
+    """map_batches fn adding ``part = mix(a, b) % n_part`` — the
+    co-partition key for per-PAIR merges (cross-partition dedup /
+    partial-count sums)."""
+
+    def stamp(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            b * np.uint64(0xC2B2AE3D27D4EB4F))
+        part = (mix >> np.uint64(33)) % np.uint64(n_part)
+        return t.append_column("part", pa.array(part.astype(np.int64)))
+
+    return stamp
+
+
+def _dedup_pairs_coparted(cand: "rd.Dataset", a_col: str,
+                          b_col: str) -> "rd.Dataset":
+    """Collapse cross-partition duplicate pairs: hash(pair) co-partition +
+    one vectorized drop_duplicates per partition. Ray's native multi-key
+    ``groupby([a, b]).aggregate`` is NOT usable here: fed the
+    pandas-format, empty-block-laced output of a groupby().map_groups
+    stage it degrades ~20× (measured 45 s for a 70k-row pair table vs
+    0.24 s for this shape; clean Arrow blocks take 2.7 s — still 10×)."""
+    n_part = max(4, min(1024, cand.count() // 250_000 + 1))
+
+    def drop_dup(g: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            g[[a_col, b_col]].drop_duplicates(), preserve_index=False)
+
+    return (
+        cand.map_batches(_stamp_pair_part(n_part, a_col, b_col),
+                         batch_format="pyarrow")
+        .groupby("part").map_groups(drop_dup, batch_format="pandas")
+        .materialize()
+    )
+
+
+def _coparted_pairs(sig_ds: "rd.Dataset", key_col: str, emit_fn,
+                    n_rows: int) -> "rd.Dataset":
+    """Candidate pairs in ONE all-to-all: stamp ``part = hash(key)`` and
+    run the vectorized pair-gen once per partition. Hash co-location puts
+    EVERY row of a key in one partition, so partition-local collision
+    detection (and the bucket cap) is already GLOBAL — the hot-key count
+    shuffle + filter pass this tail paid through r4 was a second
+    all-to-all over the same rows for nothing (measured 2.4 s of the
+    minhash_dist row's 6.8 s at sf0.1). The kernel dedups pairs within its
+    partition; cross-partition duplicates (one pair colliding in keys that
+    hash apart — at most bands-per-doc of them) are collapsed by the
+    consumer: a final drop_duplicates in the broadcast-verify twin, a pair
+    groupby ahead of the join twin."""
+    n_part = max(4, min(1024, n_rows // 250_000 + 1))
+    return (
+        sig_ds.map_batches(_stamp_band_part(n_part, col=key_col),
+                           batch_format="pyarrow")
+        .groupby("part").map_groups(emit_fn, batch_format="pandas")
+        .materialize()
+    )
+
+
 def _stamp_band_part(n_part: int, col: str = "band"):
     """map_batches fn adding ``part = mix(key) % n_part`` — the
     co-partition key for the vectorized pair-gen (splitmix-style odd
@@ -261,18 +335,18 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
 
     - driver tail (small inputs): band table (16 B/row) → value_counts →
       pair-gen → verify against worker-computed packed shingle sets.
-    - distributed tail (the 100 TB path): band-count shuffle → hot bands
-      broadcast → collision rows (≪ corpus) only: hash(band)-co-partitioned
-      vectorized pair-gen, pair-dedup groupby, exact-Jaccard verify via Dataset.join
-      against a (doc_id, packed shingles) table of candidate docs.
+    - distributed tail (the 100 TB path): ONE hash(band) co-partition
+      exchange feeding the vectorized pair-gen (partition-local collisions
+      are global under co-location — no separate hot-band count shuffle),
+      then exact-Jaccard verify: broadcast index_in gather below the size
+      gates, Dataset.join against a (doc_id, packed shingles) candidate
+      table above (pairs deduped ahead of the joins).
     Not SQL-expressible → rows-only driver check; pytest covers semantics
     on planted near-duplicates for BOTH modes."""
-    import pyarrow.compute as pc
-
     ds = _docs(sf_dir, ["doc_id", "text"])
     sigs = ds.map_batches(MinHashSignatures, batch_format="pyarrow",
                           batch_size=256, concurrency=(2, 8)).materialize()
-    # (materialized: both the count/collision consumers below reuse it)
+    # (materialized: the size probe and whichever tail runs both reuse it)
 
     distributed = mode == "distributed" or (
         mode == "auto" and sigs.count() > MINHASH_SMALL_LIMIT
@@ -305,36 +379,11 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
     # ---- distributed tail ----
-    from ray.data.aggregate import Count
-
-    hot = (
-        sigs.groupby("band").aggregate(Count(alias_name="n"))
-        .filter(expr="n > 1")
-        .to_pandas()  # ONLY colliding bands reach the driver
-    )
-    if not len(hot):
-        return pd.DataFrame(columns=list(_EMPTY_PAIRS)).astype(_EMPTY_PAIRS)
-    hot_ref = ray.put(pa.array(hot["band"], pa.int64()))
-
-    def keep_hot(t: pa.Table) -> pa.Table:
-        from ..stages.fetch import cached_broadcast
-
-        return t.filter(pc.is_in(t["band"], value_set=cached_broadcast(hot_ref)))
-
-    coll = sigs.map_batches(keep_hot, batch_format="pyarrow")
-
-    # co-partition by hash(band): ONE vectorized pair-gen call per
-    # partition (never per band); cross-partition duplicate pairs are
-    # collapsed by the (doc_a, doc_b) groupby that follows
-    n_pairgen = max(4, min(1024, int(hot["n"].sum()) // 250_000 + 1))
-    cand = (
-        coll.map_batches(_stamp_band_part(n_pairgen), batch_format="pyarrow")
-        .groupby("part").map_groups(_emit_pairs_partition,
-                                    batch_format="pandas")
-        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
-        .drop_columns(["n_bands"])
-        .materialize()
-    )
+    # ONE all-to-all: hash(band) co-partition + per-partition vectorized
+    # pair-gen (partition-local collisions ARE global under co-location;
+    # see _coparted_pairs). cand may hold cross-partition duplicate pairs
+    # — ≤ N_BANDS per pair — collapsed below per verify twin.
+    cand = _coparted_pairs(sigs, "band", _emit_pairs_dedup, sigs.count())
     if cand.count() == 0:
         return pd.DataFrame(columns=list(_EMPTY_PAIRS)).astype(_EMPTY_PAIRS)
 
@@ -380,7 +429,12 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
 
         out = cand.map_batches(
             attach_and_verify, batch_format="pyarrow").to_pandas()
+        # cross-partition duplicate pairs from the single-exchange pair-gen
+        out = out.drop_duplicates()
     else:
+        # join twin: collapse duplicate pairs BEFORE the joins (duplicate
+        # rows would ride both exchanges and multiply the verify work)
+        cand = _dedup_pairs_coparted(cand, "doc_a", "doc_b")
         n_part = max(4, min(1024, cand.count() // 250_000 + 1))
         j1 = cand.join(
             sh_ds.rename_columns({"doc_id": "doc_a", "sh": "sh_a"}),
@@ -502,10 +556,9 @@ def dedup_simhash(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     Same size-adaptive tail as dedup_minhash_lsh, keyed on the
     (doc, band) row count: driver tail below MINHASH_SMALL_LIMIT (the band
     table is 16 B/row and the sig table 16 B/doc), distributed tail above
-    (hot-band count shuffle → co-partitioned vectorized pair-gen → verify
-    via two signature joins — signatures, never texts, move)."""
-    import pyarrow.compute as pc
-
+    (ONE hash(band) co-partition exchange feeding the vectorized pair-gen
+    → pair-dedup groupby → verify via two signature joins — signatures,
+    never texts, move)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     sigs = ds.map_batches(SimHashSignatures, batch_format="pyarrow",
                           batch_size=256, concurrency=(2, 8)).materialize()
@@ -542,34 +595,14 @@ def dedup_simhash(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
     # ---- distributed tail ----
-    from ray.data.aggregate import Count
-
-    hot = (
-        band_ds.groupby("band").aggregate(Count(alias_name="n"))
-        .filter(expr="n > 1")
-        .to_pandas()  # ONLY colliding bands reach the driver
-    )
-    if not len(hot):
-        return pd.DataFrame(columns=list(_EMPTY_SIMHASH)).astype(_EMPTY_SIMHASH)
-    hot_ref = ray.put(pa.array(hot["band"], pa.int64()))
-
-    def keep_hot(t: pa.Table) -> pa.Table:
-        from ..stages.fetch import cached_broadcast
-
-        return t.filter(pc.is_in(t["band"], value_set=cached_broadcast(hot_ref)))
-
-    n_pairgen = max(4, min(1024, int(hot["n"].sum()) // 250_000 + 1))
-    cand = (
-        band_ds.map_batches(keep_hot, batch_format="pyarrow")
-        .map_batches(_stamp_band_part(n_pairgen), batch_format="pyarrow")
-        .groupby("part").map_groups(_emit_pairs_partition,
-                                    batch_format="pandas")
-        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
-        .drop_columns(["n_bands"])
-        .materialize()
-    )
+    # ONE co-partition exchange for pair-gen (see _coparted_pairs), then a
+    # pair-hash co-partitioned dedup collapsing cross-partition duplicates
+    # ahead of the signature joins (dup rows would multiply through both)
+    cand = _coparted_pairs(band_ds, "band", _emit_pairs_dedup,
+                           sigs.count() * SIMHASH_BANDS)
     if cand.count() == 0:
         return pd.DataFrame(columns=list(_EMPTY_SIMHASH)).astype(_EMPTY_SIMHASH)
+    cand = _dedup_pairs_coparted(cand, "doc_a", "doc_b")
 
     n_part = max(4, min(1024, cand.count() // 250_000 + 1))
     j1 = cand.join(
@@ -780,11 +813,11 @@ def _emb_cosine_lsh(ds: rd.Dataset, threshold: float,
 
     - driver tail (small inputs): bucket table → value_counts → pair-gen
       → verify against a driver-fetched candidate matrix;
-    - distributed tail (the 100 TB path): hot-bucket count shuffle →
-      collision rows only → co-partitioned vectorized pair-gen →
-      pair-dedup groupby → exact cosine verify via two ``Dataset.join``s
-      against a (vec_id, packed normalized vector) table — the full
-      bucket table and the candidate vectors never land on the driver.
+    - distributed tail (the 100 TB path): ONE hash(bucket) co-partition
+      exchange feeding the vectorized pair-gen → pair-dedup groupby →
+      exact cosine verify via two ``Dataset.join``s against a (vec_id,
+      packed normalized vector) table — the full bucket table and the
+      candidate vectors never land on the driver.
     Both tails are equality-tested against each other."""
     import pyarrow.compute as pc
 
@@ -833,36 +866,14 @@ def _emb_cosine_lsh(ds: rd.Dataset, threshold: float,
         return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
     # ---- distributed tail (MinHash-shaped) ----
-    from ray.data.aggregate import Count
-
-    hot = (
-        sigs.groupby("bucket").aggregate(Count(alias_name="n"))
-        .filter(expr="n > 1")
-        .to_pandas()  # ONLY colliding buckets reach the driver
-    )
-    if not len(hot):
-        return pd.DataFrame(columns=list(_EMPTY_EMB)).astype(_EMPTY_EMB)
-    hot_ref = ray.put(pa.array(hot["bucket"], pa.int64()))
-
-    def keep_hot(t: pa.Table) -> pa.Table:
-        from ..stages.fetch import cached_broadcast
-
-        return t.filter(
-            pc.is_in(t["bucket"], value_set=cached_broadcast(hot_ref)))
-
-    n_pairgen = max(4, min(1024, int(hot["n"].sum()) // 250_000 + 1))
-    cand_ds = (
-        sigs.map_batches(keep_hot, batch_format="pyarrow")
-        .map_batches(_stamp_band_part(n_pairgen, col="bucket"),
-                     batch_format="pyarrow")
-        .groupby("part").map_groups(_emit_vec_pairs_partition,
-                                    batch_format="pandas")
-        .groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="n_buckets"))
-        .drop_columns(["n_buckets"])
-        .materialize()
-    )
+    # ONE co-partition exchange for pair-gen (see _coparted_pairs), then a
+    # pair-hash co-partitioned dedup collapsing cross-partition duplicates
+    # ahead of the vector joins
+    cand_ds = _coparted_pairs(sigs, "bucket", _emit_vec_pairs_dedup,
+                              sigs.count())
     if cand_ds.count() == 0:
         return pd.DataFrame(columns=list(_EMPTY_EMB)).astype(_EMPTY_EMB)
+    cand_ds = _dedup_pairs_coparted(cand_ds, "vec_a", "vec_b")
 
     ids_a = cand_ds.select_columns(["vec_a"]).rename_columns(["vec_id"])
     ids_b = cand_ds.select_columns(["vec_b"]).rename_columns(["vec_id"])
@@ -933,14 +944,11 @@ def dedup_winnow_pairs(
 
     Size-adaptive like dedup_minhash_lsh:
     - driver tail (small): (doc_id, fp) pandas merge on fp;
-    - distributed tail (100 TB path): fp-frequency groupby → eligible-fp
-      broadcast filter → fps ⋈ fps on fp (hash join, bounded ≤ max_fp_freq
-      per key) → pair groupby count. Texts never shuffle — only 16 B/row
+    - distributed tail (100 TB path): hash(fp) co-partition → per-partition
+      frequency cap + merge (partial pair counts) → pair groupby-sum →
+      min_shared filter. Texts never shuffle — only 16 B/row
       (doc_id, fp) pairs.
     """
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count
-
     from .text import winnow_rows_batch
 
     from ._schema import heal_blocks
@@ -998,37 +1006,61 @@ def _winnow_pairs_ds(
     fps: rd.Dataset, max_fp_freq: int, min_shared: int
 ) -> rd.Dataset | None:
     """Fully distributed winnow pair-gen over a materialized (doc_id, fp)
-    Dataset: fp-frequency groupby → eligible-fp broadcast filter → fps ⋈
-    fps on fp (hash join, bounded ≤ max_fp_freq rows per key) → pair
-    groupby count. Returns a (doc_a, doc_b, shared_fps) Dataset, or None
-    when no fp is shared. Texts never shuffle — only 16 B/row fp pairs."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count
+    Dataset in TWO all-to-alls: hash(fp) co-partition → per-partition
+    frequency cap + merge emitting PARTIAL pair counts (partition-local fp
+    frequencies are global under co-location, so the eligible-fp filter
+    needs no separate count shuffle — the _coparted_pairs argument) → one
+    pair groupby-sum re-establishing the global shared_fps before the
+    min_shared filter (a pair's shared fps hash across partitions, so the
+    per-partition counts are partials, not finals). Returns a
+    (doc_a, doc_b, shared_fps) Dataset, or None when no fp is shared.
+    Texts never shuffle — only 16 B/row fp pairs."""
+    from ._schema import heal_blocks
 
-    ok = (
-        fps.groupby("fp").aggregate(Count(alias_name="n"))
-        .filter(expr=f"n >= 2 and n <= {max_fp_freq}")
-        .to_pandas()  # eligible fp KEYS only (bounded by distinct fps)
+    n_part = max(4, min(1024, fps.count() // 250_000 + 1))
+
+    def emit_partial(g: pd.DataFrame) -> pa.Table:
+        vc = g["fp"].value_counts()
+        ok = vc[(vc >= 2) & (vc <= max_fp_freq)].index
+        df = g[g["fp"].isin(ok)]
+        j = df.merge(df, on="fp", suffixes=("_l", "_r"))
+        j = j[j["doc_id_l"] < j["doc_id_r"]]
+        out = (
+            j.groupby(["doc_id_l", "doc_id_r"], sort=False).size()
+            .reset_index(name="shared_fps")
+        )
+        out.columns = ["doc_a", "doc_b", "shared_fps"]
+        return pa.Table.from_pandas(
+            out.astype({"doc_a": "int64", "doc_b": "int64",
+                        "shared_fps": "int64"}),
+            preserve_index=False)
+
+    # target_blocks=n_part: heal_blocks' 200-block default would hand the
+    # pair groupby 200 near-empty blocks — the tiny-block groupby
+    # pathology (measured 13 s on a 137-pair result)
+    partial = heal_blocks(
+        fps.map_batches(_stamp_band_part(n_part, col="fp"),
+                        batch_format="pyarrow")
+        .groupby("part").map_groups(emit_partial, batch_format="pandas"),
+        target_blocks=n_part,
     )
-    if not len(ok):
+    if partial is None:
         return None
-    ok_ref = ray.put(pa.array(ok["fp"], pa.int64()))
 
-    def keep_ok(t: pa.Table) -> pa.Table:
-        from ..stages.fetch import cached_broadcast
+    # per-pair merge: hash(pair) co-partition + one vectorized pandas
+    # groupby-sum per partition (NOT the native two-key aggregate — see
+    # _dedup_pairs_coparted for the measured 20× degradation)
+    def sum_partition(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby(["doc_a", "doc_b"], as_index=False)[
+            "shared_fps"].sum()
+        return pa.Table.from_pandas(
+            out[out["shared_fps"] >= min_shared], preserve_index=False)
 
-        return t.filter(pc.is_in(t["fp"], value_set=cached_broadcast(ok_ref)))
-
-    elig = fps.map_batches(keep_ok, batch_format="pyarrow").materialize()
-    n_part = max(4, min(1024, elig.count() // 250_000 + 1))
-    j = elig.join(
-        elig.rename_columns({"doc_id": "doc_b"}),
-        join_type="inner", num_partitions=n_part, on=("fp",),
-    ).filter(expr="doc_id < doc_b")
+    n_pair_part = max(4, min(1024, partial.count() // 250_000 + 1))
     return (
-        j.groupby(["doc_id", "doc_b"]).aggregate(Count(alias_name="shared_fps"))
-        .filter(expr=f"shared_fps >= {min_shared}")
-        .rename_columns({"doc_id": "doc_a"})
+        partial.map_batches(_stamp_pair_part(n_pair_part, "doc_a", "doc_b"),
+                            batch_format="pyarrow")
+        .groupby("part").map_groups(sum_partition, batch_format="pandas")
     )
 
 
@@ -1359,12 +1391,13 @@ def dedup_substring(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     global distinctness is re-established in the merge (driver
     drop_duplicates / hash(gh)-co-partitioned distinct+count — the
     straddle regression test pins this). Below SUBSTR_DRIVER_LIMIT gram
-    rows the
-    partials merge on the driver and the duplicated-hash set broadcasts
-    (sorted-array searchsorted membership, coverage islands merged in
-    one driver numpy pass — Ray's all-to-all fixed cost dwarfs these
-    tiny tables). Above it: distributed groupby-sum → left_semi join →
-    sessionize-style hash(doc_id) co-partitioned island merge
+    rows the per-batch distinct partials merge on the driver and the
+    duplicated-hash set broadcasts (sorted-array searchsorted membership,
+    coverage islands merged in one driver numpy pass — Ray's all-to-all
+    fixed cost dwarfs these tiny tables). Above it: ONE hash(gh)
+    co-partition pass fusing doc-frequency + dup-row filtering (partition
+    = global per gh under co-location), then the sessionize-style
+    hash(doc_id) co-partitioned island merge
     (mode="driver"/"distributed" force either; equality-tested)."""
     import pyarrow.compute as pc
 
@@ -1399,30 +1432,28 @@ def dedup_substring(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         .to_pandas()
     )
 
-    def partial_df(t: pa.Table) -> pa.Table:
-        # per-batch distinct (gh, doc_id) PAIRS — a volume reducer only.
-        # Batch boundaries are NOT doc boundaries (Ray splits map outputs
-        # at target_max_block_size at arbitrary rows), so a within-doc
-        # repeated gram can straddle batches and the same pair can come
-        # out of two batches; global distinctness is re-established in
-        # the merge (driver drop_duplicates / per-gh-partition distinct)
-        # before any doc counting.
-        t = t.filter(pc.greater_equal(t["pos"], 0))
-        df = (
-            pd.DataFrame({
-                "gh": t["gh"].to_numpy(zero_copy_only=False),
-                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
-            })
-            .drop_duplicates()
-        )
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    partials = rows.map_batches(partial_df, batch_format="pyarrow")
-
     empty_cov = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "n_dup_grams": pd.Series(dtype="int64"),
                               "dup_tokens": pd.Series(dtype="int64")})
     if mode == "driver":
+        def partial_df(t: pa.Table) -> pa.Table:
+            # per-batch distinct (gh, doc_id) PAIRS — a volume reducer
+            # only. Batch boundaries are NOT doc boundaries (Ray splits
+            # map outputs at target_max_block_size at arbitrary rows), so
+            # a within-doc repeated gram can straddle batches and the same
+            # pair can come out of two batches; global distinctness is
+            # re-established in the driver merge before any doc counting.
+            t = t.filter(pc.greater_equal(t["pos"], 0))
+            df = (
+                pd.DataFrame({
+                    "gh": t["gh"].to_numpy(zero_copy_only=False),
+                    "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                })
+                .drop_duplicates()
+            )
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        partials = rows.map_batches(partial_df, batch_format="pyarrow")
         # tiny-table path: partial pairs merge on the driver (global
         # distinct re-established here), dup hashes broadcast, matching
         # (doc, pos) rows come back small enough for one vectorized
@@ -1451,67 +1482,65 @@ def dedup_substring(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
                 .to_pandas()
             )
     else:
-        # all pairs of one gh land in one partition (hash(gh)
-        # co-partition), so per-partition pandas distinct + count is the
-        # GLOBAL count(DISTINCT doc_id) per gh — boundary-proof without a
-        # two-key groupby shuffle
+        # ONE hash(gh) co-partition of the raw gram rows: every copy of a
+        # (gh, doc) pair lands in the same partition, so the per-partition
+        # distinct + count IS the global count(DISTINCT doc_id) per gh
+        # (boundary-proof by construction), and the duplicated (doc, pos)
+        # rows are emitted by the same kernel — the r4 shape's
+        # partial-pair exchange + left_semi join (measured 3.2 s of the
+        # 6 s dist row at sf0.1) collapse into this single pass.
         n_part_df = max(8, min(1024,
                                n_gram_rows // SUBSTR_ROWS_PER_PARTITION
                                + 1))
 
         def add_gh_part(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater_equal(t["pos"], 0))
             gh = t["gh"].to_numpy(zero_copy_only=False)
             return t.append_column(
                 "part", pa.array((gh % n_part_df).astype(np.int64)))
 
-        def df_partition(g: pd.DataFrame) -> pd.DataFrame:
-            agg = (
+        def dup_rows_partition(g: pd.DataFrame) -> pa.Table:
+            sz = (
                 g[["gh", "doc_id"]].drop_duplicates()
                 .groupby("gh", as_index=False).size()
             )
-            out = agg.loc[agg["size"] >= 2, ["gh"]]
-            return out.astype({"gh": "int64"})
+            dup = np.sort(
+                sz.loc[sz["size"] >= 2, "gh"].to_numpy(dtype=np.int64))
+            gh = g["gh"].to_numpy(dtype=np.int64)
+            if len(dup) == 0:
+                m = np.zeros(len(gh), dtype=bool)
+            else:
+                idx = np.searchsorted(dup, gh)
+                idx[idx >= len(dup)] = 0
+                m = dup[idx] == gh
+            return pa.Table.from_pandas(
+                g.loc[m, ["doc_id", "pos"]], preserve_index=False)
 
-        dup_hashes = heal_blocks(
-            partials.map_batches(add_gh_part, batch_format="pyarrow")
+        dup_rows = heal_blocks(
+            rows.map_batches(add_gh_part, batch_format="pyarrow")
             .groupby("part")
-            .map_groups(df_partition, batch_format="pandas")
+            .map_groups(dup_rows_partition, batch_format="pandas"),
+            target_blocks=n_part_df,
         )
-        if dup_hashes is None:
+        if dup_rows is None:
             cov = empty_cov
         else:
             n_part = max(8, min(1024,
-                                n_gram_rows // SUBSTR_ROWS_PER_PARTITION
-                                + 1))
-            gram_only = rows.map_batches(
-                lambda t: t.filter(pc.greater_equal(t["pos"], 0)),
-                batch_format="pyarrow",
-            )
-            dup_rows = heal_blocks(
-                gram_only.join(
-                    dup_hashes, join_type="left_semi",
-                    num_partitions=n_part, on=("gh",),
-                ).select_columns(["doc_id", "pos"])
-            )
-            if dup_rows is None:
-                cov = empty_cov
-            else:
-                n_part = max(8, min(1024,
-                                    dup_rows.count()
-                                    // SUBSTR_ROWS_PER_PARTITION + 1))
+                                dup_rows.count()
+                                // SUBSTR_ROWS_PER_PARTITION + 1))
 
-                def add_part(t: pa.Table) -> pa.Table:
-                    d = t["doc_id"].to_numpy(zero_copy_only=False)
-                    return t.append_column(
-                        "part", pa.array((d % n_part).astype(np.int64)))
+            def add_part(t: pa.Table) -> pa.Table:
+                d = t["doc_id"].to_numpy(zero_copy_only=False)
+                return t.append_column(
+                    "part", pa.array((d % n_part).astype(np.int64)))
 
-                cov = (
-                    dup_rows.map_batches(add_part, batch_format="pyarrow")
-                    .groupby("part")
-                    .map_groups(_substr_cov_partition,
-                                batch_format="pandas")
-                    .to_pandas()
-                )
+            cov = (
+                dup_rows.map_batches(add_part, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(_substr_cov_partition,
+                            batch_format="pandas")
+                .to_pandas()
+            )
 
     out = stats.merge(cov[["doc_id", "n_dup_grams", "dup_tokens"]],
                       on="doc_id", how="left")
