@@ -367,9 +367,16 @@ def top_ngrams(sf_dir: str, topn: int = 20) -> pd.DataFrame:
     shape (vocabulary/n-gram tables) of a training-data pipeline. Counts are
     pre-aggregated INSIDE map_batches (one (ngram, cnt) row per distinct
     bigram per batch), so the shuffle moves partial counts, never n-gram
-    occurrences; the global groupby-sum is followed by a distributed sort +
-    limit, so only ``topn`` rows ever reach the driver. Ties break on the
-    n-gram string, matching the SQL oracle."""
+    occurrences. The merge is ONE hash(ngram) co-partition exchange: all
+    partials of an n-gram land in one partition, so the per-partition
+    vectorized sum is the global count and each partition's local top-n
+    provably contains its members of the global top-n — n_part × topn rows
+    reach the driver instead of a native groupby-sum + distributed
+    sort+limit (two exchanges, and Ray's native aggregate pays a
+    per-group-scale cost this shape avoids). Ties break on the n-gram
+    string, matching the SQL oracle."""
+    import numpy as np
+
     ds = _docs(sf_dir, ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -384,15 +391,30 @@ def top_ngrams(sf_dir: str, topn: int = 20) -> pd.DataFrame:
             }
         )
 
-    from ray.data.aggregate import Sum
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    n_part = max(4, min(1024, partials.count() // 250_000 + 1))
+
+    def stamp(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t["ngram"].to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "part", pa.array((h % np.uint64(n_part)).astype(np.int64)))
+
+    def topn_part(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("ngram", as_index=False, sort=False)["n_occ"].sum()
+        agg = agg.sort_values(["n_occ", "ngram"], ascending=[False, True],
+                              kind="mergesort").head(topn)
+        return pa.table(
+            {"ngram": pa.array(agg["ngram"].astype(str), pa.string()),
+             "n_occ": pa.array(agg["n_occ"].to_numpy(np.int64), pa.int64())})
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("ngram")
-        .aggregate(Sum("n_occ", alias_name="n_occ"))
-        .sort(["n_occ", "ngram"], descending=[True, False])
-        .limit(topn)
+        partials.map_batches(stamp, batch_format="pyarrow")
+        .groupby("part").map_groups(topn_part, batch_format="pandas")
         .to_pandas()
+        .sort_values(["n_occ", "ngram"], ascending=[False, True],
+                     kind="mergesort")
+        .head(topn)
     )
     return out.reset_index(drop=True)
 
@@ -717,12 +739,12 @@ def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     Scale shape: one exploded (doc_id, term, tf, n_tok) pass (each doc
     lives in exactly ONE input batch, so per-doc term counts are exact
     per batch); document frequencies via per-batch partial counts → ONE
-    small groupby-sum over terms; a hash join on term sized by row count;
-    then the co-partition-by-doc_id pattern (bounded partition count, one
-    vectorized sort + groupby-head per partition — never one Python call
-    per doc)."""
-    from ray.data.aggregate import Sum
-
+    hash(term) co-partition + vectorized per-partition sum (partition =
+    global per term under co-location; Ray's native aggregate pays a
+    per-group-scale cost this avoids); a hash join on term sized by row
+    count; then the co-partition-by-doc_id pattern (bounded partition
+    count, one vectorized sort + groupby-head per partition — never one
+    Python call per doc)."""
     import numpy as np
 
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -774,16 +796,27 @@ def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
              "pdf": pa.array(g["pdf"].to_numpy(np.int64), pa.int64())}
         )
 
-    # doc_freq: tf_ds has ONE row per (doc, term) → partial per-batch term
-    # counts shrink the shuffle to (term, pdf) before the global sum.
-    # heal_blocks: the aggregate emits zero-column blocks for empty hash
-    # partitions, which poison the downstream join (pipelines/_schema.py)
-    from ._schema import heal_blocks
+    def stamp_term(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t["term"].to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "part", pa.array((h % np.uint64(n_part)).astype(np.int64)))
 
+    def sum_term(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("term", as_index=False, sort=False)["pdf"].sum()
+        return pa.table(
+            {"term": pa.array(agg["term"].astype(str), pa.string()),
+             "doc_freq": pa.array(agg["pdf"].to_numpy(np.int64),
+                                  pa.int64())})
+
+    # doc_freq: tf_ds has ONE row per (doc, term) → partial per-batch term
+    # counts shrink the shuffle to (term, pdf) before the co-partitioned
+    # sum. heal_blocks: map_groups leaves zero-row schema-less blocks for
+    # empty partitions, which poison the downstream join (_schema.py)
     df_ds = heal_blocks(
         tf_ds.map_batches(partial_df, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("pdf", alias_name="doc_freq")),
+        .map_batches(stamp_term, batch_format="pyarrow")
+        .groupby("part").map_groups(sum_term, batch_format="pandas"),
         target_blocks=n_part,
     )
     if df_ds is None:
@@ -872,7 +905,9 @@ def lang_length_quantiles(sf_dir: str) -> pd.DataFrame:
 
     Scale shape: a 100 TB corpus has billions of rows but only ~1e5
     distinct (lang, length) pairs, so the histogram groupby shuffles
-    almost nothing and the driver sees only the histogram."""
+    almost nothing and the driver sees only the histogram (a co-partition
+    twin of this merge measured SLOWER — the group count is small enough
+    that Ray's native aggregate is pure fixed cost here)."""
     import numpy as np
 
     from ray.data.aggregate import Sum
