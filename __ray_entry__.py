@@ -94,14 +94,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine_query,
         "dedup_winnow_pairs": dedup.dedup_winnow_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_keep_best": dedup.dedup_keep_best,
         "dedup_substring": dedup.dedup_substring,
         # --- privacy (privacy.py changed in r5) ---
         "events_scrub_ids": privacy.events_scrub_ids,
         "decontaminate": privacy.decontaminate,
-        # --- similarity search ---
+        # --- similarity search (ann_ivf_topk sits in the tail: ann.py is
+        # untouched this round, so its r4 hash row stays current) ---
         "ann_bruteforce_topk": ann.ann_bruteforce_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
-        "ann_ivf_topk": ann.ann_ivf_topk,
         "knn_classify": ann.knn_classify,
         # --- text analysis (r4-certified, kept under the cap) ---
         "repetition_scores": text.repetition_scores,
@@ -122,8 +123,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_window_activity": relational.user_window_activity,
         "distinct_kmv_sketch": relational.distinct_kmv_sketch,
         "heavy_hitters_topk": relational.heavy_hitters_topk,
-        # ---- 50-row cap boundary: entries below are multi-round-stable
-        # relational queries over an UNTOUCHED module (r4 rows current) ----
+        # ---- 50-row cap boundary: entries below are over UNTOUCHED
+        # modules this round (r4 rows current): stable relational queries
+        # + ann_ivf_topk ----
+        "ann_ivf_topk": ann.ann_ivf_topk,
         "q3_top_orders": relational.q3_top_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
         "events_hourly_window": relational.events_hourly_window,

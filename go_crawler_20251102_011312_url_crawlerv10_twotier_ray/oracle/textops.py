@@ -385,6 +385,33 @@ def mint_text_oracles(sf_dir: str, base: str = "/tmp/graft_textoracle") -> str:
 def oracle_sqls(sf_dir: str) -> dict[str, str]:
     """Mint (cached) and return the read_parquet oracle SQL per query key."""
     d = mint_text_oracles(sf_dir)
+    # shared recursive-CTE prefix: min-reachable-id cluster labels over
+    # exact-md5 star edges ∪ winnow pairs — consumed by both the
+    # dedup_clusters and dedup_keep_best oracles below
+    cluster_cte = f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id, md5(text) AS h
+         FROM read_parquet('{sf_dir}/documents.parquet')),
+er AS (SELECT h, min(doc_id) AS root FROM docs GROUP BY h),
+exact_edges AS (SELECT d.doc_id AS a, er.root AS b
+                FROM docs d JOIN er USING (h) WHERE er.root < d.doc_id),
+fp AS (SELECT doc_id, fp FROM read_parquet('{d}/oracle_winnowing.parquet')),
+okf AS (SELECT fp FROM fp GROUP BY fp
+        HAVING count(*) BETWEEN 2 AND {_WINNOW_PAIR_MAX_FREQ}),
+wj AS (SELECT a.doc_id AS a, b.doc_id AS b
+       FROM fp a JOIN fp b USING (fp)
+       WHERE a.doc_id < b.doc_id AND a.fp IN (SELECT fp FROM okf)),
+wpairs AS (SELECT a, b FROM wj GROUP BY a, b
+           HAVING count(*) >= {_WINNOW_PAIR_MIN_SHARED}),
+edges AS (SELECT a, b FROM exact_edges UNION SELECT a, b FROM wpairs),
+bidir AS (SELECT a AS src, b AS dst FROM edges
+          UNION SELECT b AS src, a AS dst FROM edges),
+reach(doc_id, root) AS (
+    SELECT doc_id, doc_id FROM docs
+    UNION
+    SELECT bi.dst, r.root FROM reach r JOIN bidir bi ON bi.src = r.doc_id
+),
+cl AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id)"""
     return {
         "lang_id": (
             f"SELECT * FROM read_parquet('{d}/oracle_lang_id.parquet') "
@@ -428,36 +455,28 @@ ORDER BY doc_a, doc_b
         # pair semantics, as a DuckDB recursive CTE (min-reachable-id
         # labels) — a fully independent implementation of the engine's
         # union-find / label-propagation tails
-        "dedup_clusters": f"""
-WITH RECURSIVE
-docs AS (SELECT doc_id, md5(text) AS h
-         FROM read_parquet('{sf_dir}/documents.parquet')),
-er AS (SELECT h, min(doc_id) AS root FROM docs GROUP BY h),
-exact_edges AS (SELECT d.doc_id AS a, er.root AS b
-                FROM docs d JOIN er USING (h) WHERE er.root < d.doc_id),
-fp AS (SELECT doc_id, fp FROM read_parquet('{d}/oracle_winnowing.parquet')),
-okf AS (SELECT fp FROM fp GROUP BY fp
-        HAVING count(*) BETWEEN 2 AND {_WINNOW_PAIR_MAX_FREQ}),
-wj AS (SELECT a.doc_id AS a, b.doc_id AS b
-       FROM fp a JOIN fp b USING (fp)
-       WHERE a.doc_id < b.doc_id AND a.fp IN (SELECT fp FROM okf)),
-wpairs AS (SELECT a, b FROM wj GROUP BY a, b
-           HAVING count(*) >= {_WINNOW_PAIR_MIN_SHARED}),
-edges AS (SELECT a, b FROM exact_edges UNION SELECT a, b FROM wpairs),
-bidir AS (SELECT a AS src, b AS dst FROM edges
-          UNION SELECT b AS src, a AS dst FROM edges),
-reach(doc_id, root) AS (
-    SELECT doc_id, doc_id FROM docs
-    UNION
-    SELECT bi.dst, r.root FROM reach r JOIN bidir bi ON bi.src = r.doc_id
-),
-cl AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id),
+        "dedup_clusters": cluster_cte + """,
 sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
        FROM cl GROUP BY cluster_id)
 SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
        (cl.doc_id = cl.cluster_id) AS keep
 FROM cl JOIN sz USING (cluster_id)
 ORDER BY cl.doc_id
+""",
+        # winner per cluster = max token count, ties -> min doc_id — the
+        # same integer keys the engine's dedup_keep_best ranks on
+        "dedup_keep_best": cluster_cte + rf""",
+q AS (SELECT doc_id,
+             CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+                 AS n_tokens
+      FROM read_parquet('{sf_dir}/documents.parquet')),
+r AS (SELECT cl.doc_id, cl.cluster_id, q.n_tokens,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY q.n_tokens DESC, cl.doc_id)
+                 AS rn
+      FROM cl JOIN q USING (doc_id))
+SELECT doc_id, cluster_id, n_tokens, (rn = 1) AS keep
+FROM r ORDER BY doc_id
 """,
         # curation gates recomputed relationally over documents + the SAME
         # minted lang-oracle parquet the lang_id hash pins — independent of

@@ -1276,6 +1276,47 @@ def dedup_clusters(
     )
 
 
+def dedup_keep_best(
+    sf_dir: str,
+    max_fp_freq: int = WINNOW_PAIR_MAX_FREQ,
+    min_shared: int = WINNOW_PAIR_MIN_SHARED,
+) -> pd.DataFrame:
+    """Canonical-document selection per near-dup cluster — the "keep the
+    best copy, drop the rest" step a training-data pipeline runs after
+    clustering. Winner per cluster = max n_tokens, ties broken by min
+    doc_id: both keys are exact integers, so the ranking is deterministic
+    and SQL-value-hash-checkable (a float quality score would not be
+    bit-stable across engines — quantize first if one is ever used here).
+    Returns one row per document: (doc_id, cluster_id, n_tokens, keep).
+
+    Composes the distributed cluster labeling (dedup_clusters) with the
+    distributed token-count kernel (text.token_counts); the winner pick
+    itself is one vectorized sort + groupby-first over the per-doc label
+    frame both already return driver-side. At 100 TB the same selection
+    runs as a hash(cluster_id) co-partition + per-partition kernel (the
+    _stamp_pair_part pattern) over the label Dataset instead."""
+    cl = dedup_clusters(sf_dir, max_fp_freq, min_shared)
+    cols = {"doc_id": "int64", "cluster_id": "int64",
+            "n_tokens": "int64", "keep": "bool"}
+    if not len(cl):
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    from .text import token_counts
+
+    tc = token_counts(sf_dir)[["doc_id", "n_tokens"]]
+    df = cl[["doc_id", "cluster_id"]].merge(tc, on="doc_id", how="left")
+    df["n_tokens"] = df["n_tokens"].fillna(0).astype("int64")
+    df = df.sort_values(["cluster_id", "n_tokens", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    winner = df.groupby("cluster_id", sort=False)["doc_id"].transform(
+        "first")
+    df["keep"] = df["doc_id"].to_numpy() == winner.to_numpy()
+    return (
+        df[list(cols)].astype(cols)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact duplicated-substring coverage (the Lee-et-al.-2022 span-dedup shape:
 # which token ranges of each document also occur verbatim in OTHER docs)

@@ -288,6 +288,51 @@ def test_dedup_clusters_distributed_mode_matches_driver_mode(clusters_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_dedup_keep_best_prefers_longest(tmp_path):
+    """Winner per cluster is the LONGEST doc (max n_tokens), not the min
+    doc_id the plain cluster labels keep — ties fall back to min doc_id."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
+        dedup_keep_best,
+    )
+
+    rng = np.random.RandomState(11)
+    words = [f"tok{i:04d}" for i in range(2000)]
+    base = " ".join(rng.choice(words, 60))
+    texts = [
+        base,                                          # 0: 60 tokens
+        base + " " + " ".join(rng.choice(words, 10)),  # 1: superset, longer
+        " ".join(rng.choice(words, 60)),               # 2: unrelated
+        base,                                          # 3: exact copy of 0
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["src"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(tmp_path, "documents.parquet"))
+
+    out = dedup_keep_best(str(tmp_path), min_shared=20)
+    assert list(out["doc_id"]) == [0, 1, 2, 3]
+    keep = dict(zip(out["doc_id"], out["keep"]))
+    # 0, 1, 3 form one cluster (superset near-dup + exact copy); the
+    # 70-token superset wins over the min-id 60-token original
+    assert keep[1] and not keep[0] and not keep[3]
+    assert keep[2]
+    ntok = dict(zip(out["doc_id"], out["n_tokens"]))
+    assert ntok[1] == 70 and ntok[0] == 60
+    # exactly one keeper per cluster
+    assert out["keep"].sum() == out["cluster_id"].nunique()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_embedding_cosine_finds_planted(planted_dir):
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines.dedup import (
         dedup_embedding_cosine,
