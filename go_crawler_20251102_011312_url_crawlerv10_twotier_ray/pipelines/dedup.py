@@ -163,6 +163,13 @@ def _emit_vec_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
                                _EMB_BUCKET_CAP)
 
 
+def _n_parts(n_rows: int, floor: int = 4) -> int:
+    """Co-partition count from row volume — ~250k rows/partition, capped
+    at 1024 (each all-to-all partition costs ~0.1 s fixed on this box;
+    see CLAUDE.md 'sized by ROW COUNT')."""
+    return max(floor, min(1024, n_rows // 250_000 + 1))
+
+
 def _emit_pairs_dedup(g: pd.DataFrame) -> pa.Table:
     # within-partition pair dedup (one pair can collide in several keys of
     # the same partition); cross-partition duplicates are the consumer's.
@@ -201,7 +208,7 @@ def _dedup_pairs_coparted(cand: "rd.Dataset", a_col: str,
     pandas-format, empty-block-laced output of a groupby().map_groups
     stage it degrades ~20× (measured 45 s for a 70k-row pair table vs
     0.24 s for this shape; clean Arrow blocks take 2.7 s — still 10×)."""
-    n_part = max(4, min(1024, cand.count() // 250_000 + 1))
+    n_part = _n_parts(cand.count())
 
     def drop_dup(g: pd.DataFrame) -> pa.Table:
         return pa.Table.from_pandas(
@@ -228,7 +235,7 @@ def _coparted_pairs(sig_ds: "rd.Dataset", key_col: str, emit_fn,
     hash apart — at most bands-per-doc of them) are collapsed by the
     consumer: a final drop_duplicates in the broadcast-verify twin, a pair
     groupby ahead of the join twin."""
-    n_part = max(4, min(1024, n_rows // 250_000 + 1))
+    n_part = _n_parts(n_rows)
     return (
         sig_ds.map_batches(_stamp_band_part(n_part, col=key_col),
                            batch_format="pyarrow")
@@ -387,12 +394,16 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     if cand.count() == 0:
         return pd.DataFrame(columns=list(_EMPTY_PAIRS)).astype(_EMPTY_PAIRS)
 
-    # verify via join: shingle sets for candidate docs only (the candidate
-    # id set is ids-only and ≪ corpus; the TEXTS never leave the workers).
+    # verify: shingle sets for candidate docs only (the candidate id set
+    # is ids-only and ≪ corpus; the TEXTS never leave the workers).
     # cand is already materialized — its id columns collect to the driver
     # either way (Dataset.unique returns a driver list), so np.unique over
     # the two columns replaces a union+unique exchange with zero shuffles.
-    cand_ids = cand.select_columns(["doc_a", "doc_b"]).to_pandas()
+    # Cross-partition duplicate pairs (≤ N_BANDS per pair, and precisely
+    # the TRUE near-dups collide in many bands) are dropped here, once,
+    # before any verification work.
+    cand_ids = (cand.select_columns(["doc_a", "doc_b"]).to_pandas()
+                .drop_duplicates())
     need_ids = np.unique(np.concatenate(
         [cand_ids["doc_a"].to_numpy(np.int64),
          cand_ids["doc_b"].to_numpy(np.int64)]))
@@ -427,15 +438,26 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
             t = t.append_column("sh_b", sh["sh"].take(ib))
             return _verify_pairs_table(t)
 
-        out = cand.map_batches(
+        # verify the driver-deduped pairs (cand_ids), not the dup-inflated
+        # Dataset — true near-dups collide in ~all bands, so exactly the
+        # pairs that pass would otherwise be shingle-verified ~n_part
+        # times each. The pair list is already driver-resident; ship it
+        # back as a handful of blocks for the distributed verify map.
+        pairs_tbl = pa.table(
+            {"doc_a": pa.array(cand_ids["doc_a"].to_numpy(np.int64)),
+             "doc_b": pa.array(cand_ids["doc_b"].to_numpy(np.int64))})
+        pairs_ds = rd.from_arrow(pairs_tbl)
+        if pairs_tbl.num_rows > 4096:
+            # from_arrow is ONE block = serial map (the round-1 lesson)
+            pairs_ds = pairs_ds.repartition(
+                max(2, min(64, pairs_tbl.num_rows // 4096)))
+        out = pairs_ds.map_batches(
             attach_and_verify, batch_format="pyarrow").to_pandas()
-        # cross-partition duplicate pairs from the single-exchange pair-gen
-        out = out.drop_duplicates()
     else:
         # join twin: collapse duplicate pairs BEFORE the joins (duplicate
         # rows would ride both exchanges and multiply the verify work)
         cand = _dedup_pairs_coparted(cand, "doc_a", "doc_b")
-        n_part = max(4, min(1024, cand.count() // 250_000 + 1))
+        n_part = _n_parts(cand.count())
         j1 = cand.join(
             sh_ds.rename_columns({"doc_id": "doc_a", "sh": "sh_a"}),
             join_type="inner", num_partitions=n_part, on=("doc_a",),
@@ -604,7 +626,7 @@ def dedup_simhash(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         return pd.DataFrame(columns=list(_EMPTY_SIMHASH)).astype(_EMPTY_SIMHASH)
     cand = _dedup_pairs_coparted(cand, "doc_a", "doc_b")
 
-    n_part = max(4, min(1024, cand.count() // 250_000 + 1))
+    n_part = _n_parts(cand.count())
     j1 = cand.join(
         sigs.rename_columns({"doc_id": "doc_a", "sig": "sig_a"}),
         join_type="inner", num_partitions=n_part, on=("doc_a",),
@@ -880,7 +902,7 @@ def _emb_cosine_lsh(ds: rd.Dataset, threshold: float,
     need_ids = ids_a.union(ids_b).unique("vec_id")
     need_ref = ray.put(pa.array(sorted(need_ids), pa.int64()))
     vb_ds = _packed_vecs_ds(ds, need_ref).materialize()  # used by 2 joins
-    n_part = max(4, min(1024, cand_ds.count() // 250_000 + 1))
+    n_part = _n_parts(cand_ds.count())
     j1 = cand_ds.join(
         vb_ds.rename_columns({"vec_id": "vec_a", "vb": "vb_a"}),
         join_type="inner", num_partitions=n_part, on=("vec_a",),
@@ -1017,7 +1039,7 @@ def _winnow_pairs_ds(
     Texts never shuffle — only 16 B/row fp pairs."""
     from ._schema import heal_blocks
 
-    n_part = max(4, min(1024, fps.count() // 250_000 + 1))
+    n_part = _n_parts(fps.count())
 
     def emit_partial(g: pd.DataFrame) -> pa.Table:
         vc = g["fp"].value_counts()
@@ -1056,7 +1078,7 @@ def _winnow_pairs_ds(
         return pa.Table.from_pandas(
             out[out["shared_fps"] >= min_shared], preserve_index=False)
 
-    n_pair_part = max(4, min(1024, partial.count() // 250_000 + 1))
+    n_pair_part = _n_parts(partial.count())
     return (
         partial.map_batches(_stamp_pair_part(n_pair_part, "doc_a", "doc_b"),
                             batch_format="pyarrow")
@@ -1181,7 +1203,7 @@ def dedup_clusters(
                                        batch_format="pyarrow",
                                        batch_size=256))
     fps = fps.materialize() if fps is not None else None
-    n_part = max(4, min(1024, n_docs // 250_000 + 1))
+    n_part = _n_parts(n_docs)
     roots = heal_blocks(
         hashes.groupby("h").aggregate(Min("doc_id", alias_name="root")),
         target_blocks=n_part,

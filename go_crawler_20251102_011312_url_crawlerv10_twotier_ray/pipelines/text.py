@@ -27,6 +27,21 @@ def _empty_typed(cols: dict[str, str]) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
 
 
+def _stamp_str_part(col: str, n_part: int):
+    """map_batches fn adding ``part = hash(string col) % n_part`` — the
+    co-partition key for per-key merges over string keys (terms, n-grams);
+    the int-key twin is dedup._stamp_band_part."""
+    import numpy as np
+
+    def stamp(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t[col].to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "part", pa.array((h % np.uint64(n_part)).astype(np.int64)))
+
+    return stamp
+
+
 # ---------------------------------------------------------------------------
 # token counts (SQL-checkable)
 # ---------------------------------------------------------------------------
@@ -392,13 +407,11 @@ def top_ngrams(sf_dir: str, topn: int = 20) -> pd.DataFrame:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if partials.count() == 0:
+        # empty / all-whitespace corpus: the driver-side sort below would
+        # KeyError on the zero-column frame an all-empty Dataset collapses to
+        return _empty_typed({"ngram": "object", "n_occ": "int64"})
     n_part = max(4, min(1024, partials.count() // 250_000 + 1))
-
-    def stamp(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            t["ngram"].to_pandas(), index=False).to_numpy()
-        return t.append_column(
-            "part", pa.array((h % np.uint64(n_part)).astype(np.int64)))
 
     def topn_part(g: pd.DataFrame) -> pa.Table:
         agg = g.groupby("ngram", as_index=False, sort=False)["n_occ"].sum()
@@ -409,7 +422,8 @@ def top_ngrams(sf_dir: str, topn: int = 20) -> pd.DataFrame:
              "n_occ": pa.array(agg["n_occ"].to_numpy(np.int64), pa.int64())})
 
     out = (
-        partials.map_batches(stamp, batch_format="pyarrow")
+        partials.map_batches(_stamp_str_part("ngram", n_part),
+                             batch_format="pyarrow")
         .groupby("part").map_groups(topn_part, batch_format="pandas")
         .to_pandas()
         .sort_values(["n_occ", "ngram"], ascending=[False, True],
@@ -796,12 +810,6 @@ def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
              "pdf": pa.array(g["pdf"].to_numpy(np.int64), pa.int64())}
         )
 
-    def stamp_term(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            t["term"].to_pandas(), index=False).to_numpy()
-        return t.append_column(
-            "part", pa.array((h % np.uint64(n_part)).astype(np.int64)))
-
     def sum_term(g: pd.DataFrame) -> pa.Table:
         agg = g.groupby("term", as_index=False, sort=False)["pdf"].sum()
         return pa.table(
@@ -815,7 +823,7 @@ def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     # empty partitions, which poison the downstream join (_schema.py)
     df_ds = heal_blocks(
         tf_ds.map_batches(partial_df, batch_format="pyarrow")
-        .map_batches(stamp_term, batch_format="pyarrow")
+        .map_batches(_stamp_str_part("term", n_part), batch_format="pyarrow")
         .groupby("part").map_groups(sum_term, batch_format="pandas"),
         target_blocks=n_part,
     )

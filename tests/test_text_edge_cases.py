@@ -46,7 +46,7 @@ def degenerate_dir(tmp_path_factory):
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize(
     "op", ["curation", "clusters", "tfidf", "sample", "quantiles",
-           "winnow_pairs"])
+           "winnow_pairs", "top_ngrams", "keep_best"])
 def test_ops_on_empty_documents(empty_dir, op):
     from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (
         dedup, text,
@@ -59,6 +59,8 @@ def test_ops_on_empty_documents(empty_dir, op):
         "sample": text.corpus_sample_stratified,
         "quantiles": text.lang_length_quantiles,
         "winnow_pairs": dedup.dedup_winnow_pairs,
+        "top_ngrams": text.top_ngrams,
+        "keep_best": dedup.dedup_keep_best,
     }[op]
     out = fn(empty_dir)
     assert isinstance(out, pd.DataFrame)
