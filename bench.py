@@ -311,6 +311,9 @@ def section_queries() -> dict:
         ("dedup_exact", dedup.dedup_exact),
         ("dedup_minhash_lsh", dedup.dedup_minhash_lsh),
         ("dedup_substring", dedup.dedup_substring),
+        ("dedup_winnow_pairs", dedup.dedup_winnow_pairs),
+        ("dedup_keep_best", dedup.dedup_keep_best),
+        ("top_ngrams", text.top_ngrams),
         ("ann_bruteforce_topk", ann.ann_bruteforce_topk),
         ("token_counts", text.token_counts),
         ("quality_scores", text.quality_scores),

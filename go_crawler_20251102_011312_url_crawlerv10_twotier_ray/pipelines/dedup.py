@@ -897,10 +897,14 @@ def _emb_cosine_lsh(ds: rd.Dataset, threshold: float,
         return pd.DataFrame(columns=list(_EMPTY_EMB)).astype(_EMPTY_EMB)
     cand_ds = _dedup_pairs_coparted(cand_ds, "vec_a", "vec_b")
 
-    ids_a = cand_ds.select_columns(["vec_a"]).rename_columns(["vec_id"])
-    ids_b = cand_ds.select_columns(["vec_b"]).rename_columns(["vec_id"])
-    need_ids = ids_a.union(ids_b).unique("vec_id")
-    need_ref = ray.put(pa.array(sorted(need_ids), pa.int64()))
+    # candidate ids: cand_ds is materialized and ≪ corpus — a driver
+    # np.unique over its two collected columns replaces the union+unique
+    # exchange (the minhash-twin argument)
+    cand_ids = cand_ds.select_columns(["vec_a", "vec_b"]).to_pandas()
+    need_ids = np.unique(np.concatenate(
+        [cand_ids["vec_a"].to_numpy(np.int64),
+         cand_ids["vec_b"].to_numpy(np.int64)]))
+    need_ref = ray.put(pa.array(need_ids, pa.int64()))
     vb_ds = _packed_vecs_ds(ds, need_ref).materialize()  # used by 2 joins
     n_part = _n_parts(cand_ds.count())
     j1 = cand_ds.join(
