@@ -351,8 +351,11 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     Not SQL-expressible → rows-only driver check; pytest covers semantics
     on planted near-duplicates for BOTH modes."""
     ds = _docs(sf_dir, ["doc_id", "text"])
+    from ._schema import auto_pool
+
     sigs = ds.map_batches(MinHashSignatures, batch_format="pyarrow",
-                          batch_size=256, concurrency=(2, 8)).materialize()
+                          batch_size=256,
+                          concurrency=auto_pool()).materialize()
     # (materialized: the size probe and whichever tail runs both reuse it)
 
     distributed = mode == "distributed" or (
@@ -582,8 +585,11 @@ def dedup_simhash(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     → pair-dedup groupby → verify via two signature joins — signatures,
     never texts, move)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
+    from ._schema import auto_pool
+
     sigs = ds.map_batches(SimHashSignatures, batch_format="pyarrow",
-                          batch_size=256, concurrency=(2, 8)).materialize()
+                          batch_size=256,
+                          concurrency=auto_pool()).materialize()
     band_ds = sigs.map_batches(_simhash_bands, batch_format="pyarrow")
 
     distributed = mode == "distributed" or (
