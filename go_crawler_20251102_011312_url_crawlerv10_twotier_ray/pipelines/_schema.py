@@ -50,6 +50,31 @@ def read_parquet_bounded(path: str, columns=None, factor: int = 3,
     )
 
 
+def n_parts(n_rows: int, floor: int = 4) -> int:
+    """Co-partition count from row volume — ~250k rows/partition, capped
+    at 1024 (each all-to-all partition costs ~0.1 s fixed on this box;
+    CLAUDE.md 'sized by ROW COUNT'). The ONE definition of the sizing
+    rule — dedup/text co-partition stages all import it."""
+    return max(floor, min(1024, n_rows // 250_000 + 1))
+
+
+def stamp_str_part(col: str, n_part: int):
+    """map_batches fn adding ``part = hash(string col) % n_part`` — the
+    co-partition key for per-key merges over STRING keys (terms, n-grams);
+    the int-key twins are dedup._stamp_band_part / _stamp_pair_part."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def stamp(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t[col].to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "part", pa.array((h % np.uint64(n_part)).astype(np.int64)))
+
+    return stamp
+
+
 def auto_pool(lo: int = 2, frac: float = 0.5,
               cap: int = 32) -> tuple[int, int]:
     """Autoscaling actor-pool bounds sized off the session CPU count.

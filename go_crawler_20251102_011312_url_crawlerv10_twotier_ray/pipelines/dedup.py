@@ -163,11 +163,7 @@ def _emit_vec_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
                                _EMB_BUCKET_CAP)
 
 
-def _n_parts(n_rows: int, floor: int = 4) -> int:
-    """Co-partition count from row volume — ~250k rows/partition, capped
-    at 1024 (each all-to-all partition costs ~0.1 s fixed on this box;
-    see CLAUDE.md 'sized by ROW COUNT')."""
-    return max(floor, min(1024, n_rows // 250_000 + 1))
+from ._schema import n_parts as _n_parts  # noqa: E402 — shared sizing rule
 
 
 def _emit_pairs_dedup(g: pd.DataFrame) -> pa.Table:
@@ -222,6 +218,26 @@ def _dedup_pairs_coparted(cand: "rd.Dataset", a_col: str,
     )
 
 
+def _unique_ids_collect(cand: "rd.Dataset", a_col: str,
+                        b_col: str) -> np.ndarray:
+    """Distinct ids over a pair Dataset's two columns WITHOUT collecting
+    the pair table: per-block unique inside one map (each block's output
+    is bounded by its distinct ids), then a driver np.unique over the
+    per-block results — ids-only ever reach the driver, and the Dataset
+    union+unique exchange this replaces is gone."""
+
+    def block_ids(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate(
+            [t[a_col].to_numpy(zero_copy_only=False).astype(np.int64),
+             t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        return pa.table({"id": pa.array(u, pa.int64())})
+
+    ids = cand.map_batches(block_ids, batch_format="pyarrow").to_pandas()
+    if "id" not in ids.columns:  # all-empty Dataset → zero-column frame
+        return np.array([], dtype=np.int64)
+    return np.unique(ids["id"].to_numpy(np.int64))
+
+
 def _coparted_pairs(sig_ds: "rd.Dataset", key_col: str, emit_fn,
                     n_rows: int) -> "rd.Dataset":
     """Candidate pairs in ONE all-to-all: stamp ``part = hash(key)`` and
@@ -233,8 +249,7 @@ def _coparted_pairs(sig_ds: "rd.Dataset", key_col: str, emit_fn,
     minhash_dist row's 6.8 s at sf0.1). The kernel dedups pairs within its
     partition; cross-partition duplicates (one pair colliding in keys that
     hash apart — at most bands-per-doc of them) are collapsed by the
-    consumer: a final drop_duplicates in the broadcast-verify twin, a pair
-    groupby ahead of the join twin."""
+    consumer's _dedup_pairs_coparted pass before any verify work."""
     n_part = _n_parts(n_rows)
     return (
         sig_ds.map_batches(_stamp_band_part(n_part, col=key_col),
@@ -389,27 +404,21 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
     # ---- distributed tail ----
-    # ONE all-to-all: hash(band) co-partition + per-partition vectorized
+    # exchange 1: hash(band) co-partition + per-partition vectorized
     # pair-gen (partition-local collisions ARE global under co-location;
-    # see _coparted_pairs). cand may hold cross-partition duplicate pairs
-    # — ≤ N_BANDS per pair — collapsed below per verify twin.
+    # see _coparted_pairs). exchange 2: hash(pair) co-partitioned dedup of
+    # the cross-partition duplicates — ≤ N_BANDS per pair, but precisely
+    # the TRUE near-dups collide in many bands, so a dup-inflated verify
+    # would repeat the shingle work for every winner.
     cand = _coparted_pairs(sigs, "band", _emit_pairs_dedup, sigs.count())
     if cand.count() == 0:
         return pd.DataFrame(columns=list(_EMPTY_PAIRS)).astype(_EMPTY_PAIRS)
+    cand = _dedup_pairs_coparted(cand, "doc_a", "doc_b")
 
-    # verify: shingle sets for candidate docs only (the candidate id set
-    # is ids-only and ≪ corpus; the TEXTS never leave the workers).
-    # cand is already materialized — its id columns collect to the driver
-    # either way (Dataset.unique returns a driver list), so np.unique over
-    # the two columns replaces a union+unique exchange with zero shuffles.
-    # Cross-partition duplicate pairs (≤ N_BANDS per pair, and precisely
-    # the TRUE near-dups collide in many bands) are dropped here, once,
-    # before any verification work.
-    cand_ids = (cand.select_columns(["doc_a", "doc_b"]).to_pandas()
-                .drop_duplicates())
-    need_ids = np.unique(np.concatenate(
-        [cand_ids["doc_a"].to_numpy(np.int64),
-         cand_ids["doc_b"].to_numpy(np.int64)]))
+    # verify: shingle sets for candidate docs only (ids-only reach the
+    # driver via per-block unique — the pair table never collects; the
+    # TEXTS never leave the workers)
+    need_ids = _unique_ids_collect(cand, "doc_a", "doc_b")
     need_ref = ray.put(pa.array(need_ids, pa.int64()))
     # shingle sets for the candidate ids — computed where the texts live,
     # materialized ONCE and consumed by whichever verify twin runs (the
@@ -441,25 +450,9 @@ def dedup_minhash_lsh(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
             t = t.append_column("sh_b", sh["sh"].take(ib))
             return _verify_pairs_table(t)
 
-        # verify the driver-deduped pairs (cand_ids), not the dup-inflated
-        # Dataset — true near-dups collide in ~all bands, so exactly the
-        # pairs that pass would otherwise be shingle-verified ~n_part
-        # times each. The pair list is already driver-resident; ship it
-        # back as a handful of blocks for the distributed verify map.
-        pairs_tbl = pa.table(
-            {"doc_a": pa.array(cand_ids["doc_a"].to_numpy(np.int64)),
-             "doc_b": pa.array(cand_ids["doc_b"].to_numpy(np.int64))})
-        pairs_ds = rd.from_arrow(pairs_tbl)
-        if pairs_tbl.num_rows > 4096:
-            # from_arrow is ONE block = serial map (the round-1 lesson)
-            pairs_ds = pairs_ds.repartition(
-                max(2, min(64, pairs_tbl.num_rows // 4096)))
-        out = pairs_ds.map_batches(
+        out = cand.map_batches(
             attach_and_verify, batch_format="pyarrow").to_pandas()
     else:
-        # join twin: collapse duplicate pairs BEFORE the joins (duplicate
-        # rows would ride both exchanges and multiply the verify work)
-        cand = _dedup_pairs_coparted(cand, "doc_a", "doc_b")
         n_part = _n_parts(cand.count())
         j1 = cand.join(
             sh_ds.rename_columns({"doc_id": "doc_a", "sh": "sh_a"}),
@@ -903,13 +896,9 @@ def _emb_cosine_lsh(ds: rd.Dataset, threshold: float,
         return pd.DataFrame(columns=list(_EMPTY_EMB)).astype(_EMPTY_EMB)
     cand_ds = _dedup_pairs_coparted(cand_ds, "vec_a", "vec_b")
 
-    # candidate ids: cand_ds is materialized and ≪ corpus — a driver
-    # np.unique over its two collected columns replaces the union+unique
-    # exchange (the minhash-twin argument)
-    cand_ids = cand_ds.select_columns(["vec_a", "vec_b"]).to_pandas()
-    need_ids = np.unique(np.concatenate(
-        [cand_ids["vec_a"].to_numpy(np.int64),
-         cand_ids["vec_b"].to_numpy(np.int64)]))
+    # candidate ids: per-block unique then a driver np.unique — ids-only
+    # reach the driver, no union+unique exchange (the minhash-twin shape)
+    need_ids = _unique_ids_collect(cand_ds, "vec_a", "vec_b")
     need_ref = ray.put(pa.array(need_ids, pa.int64()))
     vb_ds = _packed_vecs_ds(ds, need_ref).materialize()  # used by 2 joins
     n_part = _n_parts(cand_ds.count())

@@ -27,19 +27,10 @@ def _empty_typed(cols: dict[str, str]) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
 
 
-def _stamp_str_part(col: str, n_part: int):
-    """map_batches fn adding ``part = hash(string col) % n_part`` — the
-    co-partition key for per-key merges over string keys (terms, n-grams);
-    the int-key twin is dedup._stamp_band_part."""
-    import numpy as np
-
-    def stamp(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            t[col].to_pandas(), index=False).to_numpy()
-        return t.append_column(
-            "part", pa.array((h % np.uint64(n_part)).astype(np.int64)))
-
-    return stamp
+from ._schema import (  # noqa: E402 — shared co-partition helpers
+    n_parts as _n_parts,
+    stamp_str_part as _stamp_str_part,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -411,7 +402,7 @@ def top_ngrams(sf_dir: str, topn: int = 20) -> pd.DataFrame:
         # empty / all-whitespace corpus: the driver-side sort below would
         # KeyError on the zero-column frame an all-empty Dataset collapses to
         return _empty_typed({"ngram": "object", "n_occ": "int64"})
-    n_part = max(4, min(1024, partials.count() // 250_000 + 1))
+    n_part = _n_parts(partials.count())
 
     def topn_part(g: pd.DataFrame) -> pa.Table:
         agg = g.groupby("ngram", as_index=False, sort=False)["n_occ"].sum()
