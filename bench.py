@@ -581,10 +581,93 @@ def run_scaling() -> dict:
     }
 
 
+STRESS_DIR = "/tmp/graft_stress/sf_docs100k"
+STRESS_N_DOCS = 100_000
+
+
+def _stress_corpus() -> str:
+    """Mint the 20× documents stress corpus (deterministic; _SUCCESS-gated;
+    25 part files so reads parallelize): 100k docs × 100 tokens over a
+    30k-word vocab, 2% planted near-dups (copy + 3 mutated tokens)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs_path = os.path.join(STRESS_DIR, "documents.parquet")
+    if os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        return STRESS_DIR
+    os.makedirs(docs_path, exist_ok=True)
+    rng = np.random.RandomState(42)
+    vocab = np.array([f"w{i:05d}" for i in range(30_000)])
+    n = STRESS_N_DOCS
+    texts = [" ".join(vocab[rng.randint(0, len(vocab), 100)])
+             for _ in range(n)]
+    for i in range(0, n, 50):
+        src = rng.randint(0, n)
+        t = texts[src].split()
+        for _ in range(3):
+            t[rng.randint(0, len(t))] = str(
+                vocab[rng.randint(0, len(vocab))])
+        texts[i] = " ".join(t)
+    langs = rng.choice(["en", "de", "fr", "es"], n)
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s" + str(i % 20) for i in range(n)],
+                           pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    step = 4096
+    for j, lo in enumerate(range(0, n, step)):
+        pq.write_table(tbl.slice(lo, step),
+                       os.path.join(docs_path, f"part-{j:04d}.parquet"))
+    open(os.path.join(docs_path, "_SUCCESS"), "w").close()
+    return STRESS_DIR
+
+
+def run_stress() -> dict:
+    """20× documents stress probe (BASELINE.md 'Dedup-tail stress probe'):
+    driver vs distributed dedup tails at a volume where the size-adaptive
+    crossovers actually bind. Not part of the default bench."""
+    sf = _stress_corpus()
+    _init_session()
+    from go_crawler_20251102_011312_url_crawlerv10_twotier_ray.pipelines import (  # noqa: E501
+        dedup, text,
+    )
+
+    rows: dict[str, float] = {}
+    for name, fn in [
+        ("minhash_driver", lambda: dedup.dedup_minhash_lsh(sf, mode="driver")),
+        ("minhash_dist",
+         lambda: dedup.dedup_minhash_lsh(sf, mode="distributed")),
+        ("substr_driver", lambda: dedup.dedup_substring(sf, mode="driver")),
+        ("substr_auto", lambda: dedup.dedup_substring(sf)),
+        ("winnow_dist",
+         lambda: dedup.dedup_winnow_pairs(sf, mode="distributed")),
+        ("dedup_exact", lambda: dedup.dedup_exact(sf)),
+        ("top_ngrams", lambda: text.top_ngrams(sf)),
+        ("tfidf_top_terms", lambda: text.tfidf_top_terms(sf)),
+        ("corpus_curation", lambda: text.corpus_curation(sf)),
+    ]:
+        trials = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            trials.append(round(time.perf_counter() - t0, 3))
+        rows[name] = min(trials)
+    import ray
+
+    ray.shutdown()
+    return {"stress": rows, "n_docs": STRESS_N_DOCS, "num_cpus": NCPU}
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stress" in sys.argv:
+        print(json.dumps(run_stress()))
     elif "--steady" in sys.argv:
         print(json.dumps(run_steady()))
     elif "--section" in sys.argv:
